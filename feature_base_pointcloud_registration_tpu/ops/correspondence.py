@@ -1,0 +1,126 @@
+"""Point-to-line / point-to-plane correspondence with analytic coefficients.
+
+Vectorized rebuild of cornerOptimization / surfOptimization
+(ref: src/mapOptmization.h:1002-1215).  The reference runs an OpenMP loop of
+serial KD-tree queries + per-point 3x3 eigendecompositions / 5x3 QR solves;
+here every query point is processed at once: one streamed MXU 5-NN pass,
+one batched eigh over [N,3,3] covariances, one batched 3x3 normal-equation
+solve.  All accept/reject gates become masks:
+
+  corner: 5th-NN d2 < 1.0 (ref :1027), line test l0 > 3*l1 (ref :1063),
+          weight s = 1 - 0.9*|ld2| > 0.1 (ref :1106,1115)
+  surf:   5th-NN d2 < 1.0 (ref :1154), plane residual <= 0.2 m for all 5
+          neighbors (ref :1184-1189), s = 1 - 0.9*|pd2|/sqrt(sqrt(|p|)) > 0.1
+          (ref :1198,1207)
+
+Outputs per query point: unit-direction coefficients scaled by s (the
+Jacobian w.r.t. the point), weighted residual, validity mask — exactly the
+(coeff, laserCloudOri flag) pair the reference accumulates (ref :1109-1120).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_PREC = jax.lax.Precision.HIGHEST
+
+from .knn import knn5
+
+
+def corner_correspondence(pts_world, valid, map_xyz, map_mask,
+                          chunk: int = 4096):
+    """Point-to-line coefficients for corner features.
+
+    pts_world: [N,3] query points in map frame; valid: [N].
+    Returns (coeff [N,3], resid [N], mask [N]).
+    """
+    d2, idx = knn5(pts_world, map_xyz, map_mask, chunk=chunk)
+    nn = map_xyz[idx]                                   # [N,5,3]
+    gate_nn = valid & (d2[:, 4] < 1.0)
+
+    c = jnp.mean(nn, axis=1)                            # [N,3]
+    dev = nn - c[:, None, :]
+    cov = jnp.einsum("nki,nkj->nij", dev, dev, precision=_PREC) / 5.0    # [N,3,3]
+    # eigh: ascending eigenvalues; reference (cv::eigen) is descending with
+    # row eigenvectors — same spectrum (ref :1060-1063).
+    w, V = jnp.linalg.eigh(cov)
+    lam_max, lam_mid = w[:, 2], w[:, 1]
+    v = V[:, :, 2]                                      # principal direction
+    gate_line = lam_max > 3.0 * lam_mid
+
+    p0 = pts_world
+    p1 = c + 0.1 * v
+    p2 = c - 0.1 * v
+
+    # |(p0-p1) x (p0-p2)| and derivative direction (ref :1083-1103).
+    d01 = p0 - p1
+    d02 = p0 - p2
+    cx = d01[:, 0] * d02[:, 1] - d02[:, 0] * d01[:, 1]   # (x0-x1)(y0-y2)-(x0-x2)(y0-y1)
+    cy = d01[:, 0] * d02[:, 2] - d02[:, 0] * d01[:, 2]
+    cz = d01[:, 1] * d02[:, 2] - d02[:, 1] * d01[:, 2]
+    a012 = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+
+    d12 = p1 - p2
+    l12 = jnp.sqrt(jnp.sum(d12 * d12, axis=-1))
+
+    denom = a012 * l12
+    safe = jnp.where(denom > 1e-12, denom, 1.0)
+    la = (d12[:, 1] * cx + d12[:, 2] * cy) / safe
+    lb = -(d12[:, 0] * cx - d12[:, 2] * cz) / safe
+    lc = -(d12[:, 0] * cy + d12[:, 1] * cz) / safe
+
+    ld2 = a012 / jnp.where(l12 > 1e-12, l12, 1.0)
+    s = 1.0 - 0.9 * jnp.abs(ld2)
+    mask = gate_nn & gate_line & (s > 0.1) & (denom > 1e-12)
+
+    coeff = s[:, None] * jnp.stack([la, lb, lc], axis=-1)
+    resid = s * ld2
+    coeff = jnp.where(mask[:, None], coeff, 0.0)
+    resid = jnp.where(mask, resid, 0.0)
+    return coeff, resid, mask
+
+
+def surf_correspondence(pts_world, valid, map_xyz, map_mask,
+                        chunk: int = 4096):
+    """Point-to-plane coefficients for surface features.
+
+    Plane fit solves A n = -1 over the 5 neighbors (ref :1169) via 3x3
+    normal equations; rank-deficient fits are rejected by the 0.2 m check.
+    Returns (coeff [N,3], resid [N], mask [N]).
+    """
+    d2, idx = knn5(pts_world, map_xyz, map_mask, chunk=chunk)
+    nn = map_xyz[idx]                                   # [N,5,3]
+    gate_nn = valid & (d2[:, 4] < 1.0)
+
+    G = jnp.einsum("nki,nkj->nij", nn, nn, precision=_PREC)              # [N,3,3] = A^T A
+    b = -jnp.sum(nn, axis=1)                            # A^T(-1)
+    det = jnp.linalg.det(G)
+    ok_det = jnp.abs(det) > 1e-10
+    G_safe = jnp.where(ok_det[:, None, None], G,
+                       jnp.broadcast_to(jnp.eye(3, dtype=G.dtype), G.shape))
+    n = jnp.linalg.solve(G_safe, b[..., None])[..., 0]  # [N,3]
+
+    ps = jnp.sqrt(jnp.sum(n * n, axis=-1))
+    ps_safe = jnp.where(ps > 1e-12, ps, 1.0)
+    pa = n[:, 0] / ps_safe
+    pb = n[:, 1] / ps_safe
+    pc = n[:, 2] / ps_safe
+    pd = 1.0 / ps_safe
+
+    plane_res = jnp.abs(
+        pa[:, None] * nn[:, :, 0] + pb[:, None] * nn[:, :, 1]
+        + pc[:, None] * nn[:, :, 2] + pd[:, None]
+    )
+    plane_valid = jnp.all(plane_res <= 0.2, axis=1) & ok_det & (ps > 1e-12)
+
+    pd2 = pa * pts_world[:, 0] + pb * pts_world[:, 1] + pc * pts_world[:, 2] + pd
+    pnorm = jnp.sqrt(jnp.sum(pts_world * pts_world, axis=-1))
+    s = 1.0 - 0.9 * jnp.abs(pd2) / jnp.sqrt(jnp.sqrt(jnp.maximum(pnorm, 1e-12)))
+
+    mask = gate_nn & plane_valid & (s > 0.1)
+    coeff = s[:, None] * jnp.stack([pa, pb, pc], axis=-1)
+    resid = s * pd2
+    coeff = jnp.where(mask[:, None], coeff, 0.0)
+    resid = jnp.where(mask, resid, 0.0)
+    return coeff, resid, mask

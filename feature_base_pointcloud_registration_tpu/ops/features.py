@@ -1,0 +1,283 @@
+"""LOAM edge/planar feature extraction as fixed-shape JAX kernels.
+
+TPU-native rebuild of FeatureExtraction (ref: src/featureExtraction.h):
+
+  * curvature        (calculateSmoothness, ref :109-131) -> an 11-tap shifted
+    sum over the flat compacted range array (the reference computes it across
+    ring boundaries; so do we),
+  * occlusion / parallel-beam masking (markOccludedPoints, ref :134-176) ->
+    shifted-array comparisons + mask dilation,
+  * per-(ring, sector) curvature sort + greedy picking with +-5 neighbor
+    suppression (extractFeatures, ref :178-294) -> per-ring lax.scan over a
+    precomputed sorted candidate table, vmapped over rings.  The greedy loop
+    is inherently sequential; sectors within a ring are processed in order
+    (suppression crosses sector boundaries) while the 16 rings run in
+    parallel lanes.  Known deviation from the serial reference: a pick at the
+    very first sector slot can suppress at most one point in the *previous*
+    ring (ind-5 underruns the ring start by one, ref :236); ring lanes don't
+    share state so that single-point spill is dropped.  Tolerance-level, not
+    bit-level, parity (SURVEY.md §7).
+  * per-ring surface voxel thinning (ref :288-292) -> fixed-capacity voxel
+    downsample per ring lane.
+
+The quirk that std::sort's range excludes position `ep` while the pick loops
+include it (ref :203 vs :208,245) is reproduced: the element at `ep` keeps
+its original slot.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import Params
+from ..pipeline.cloud_info import CloudInfo, ScanFeatures
+from .voxel import voxel_downsample
+
+_INF = jnp.float32(jnp.inf)
+
+
+def _curvature_flat(point_range, num_points):
+    """diffRange = sum(r[i-5..i+5]) - 11*r[i] ... actually ref uses
+    sum of the 10 neighbors - 10*r[i]; curvature = diffRange^2
+    (ref: src/featureExtraction.h:115-122).  Valid for i in [5, size-5)."""
+    P = point_range.shape[0]
+    r = point_range
+    acc = -10.0 * r
+    for k in range(1, 6):
+        acc = acc + jnp.roll(r, k) + jnp.roll(r, -k)
+    curv = acc * acc
+    i = jnp.arange(P)
+    in_win = (i >= 5) & (i < num_points - 5)
+    return jnp.where(in_win, curv, 0.0), in_win
+
+
+def _occlusion_mask(point_range, point_col, num_points):
+    """Initial neighbor-picked mask (markOccludedPoints,
+    ref: src/featureExtraction.h:134-176); loop range i in [5, size-6)."""
+    P = point_range.shape[0]
+    r = point_range
+    c = point_col
+    i = jnp.arange(P)
+    in_win = (i >= 5) & (i < num_points - 6)
+
+    r_next = jnp.roll(r, -1)
+    c_next = jnp.roll(c, -1)
+    col_diff = jnp.abs(c_next - c)
+    occ_a = in_win & (col_diff < 10) & (r - r_next > 0.3)       # marks i-5..i
+    occ_b = in_win & (col_diff < 10) & (r_next - r > 0.3)       # marks i+1..i+6
+
+    picked = jnp.zeros((P,), bool)
+    for j in range(0, 6):
+        picked = picked | jnp.roll(occ_a, -j)   # occ_a at i+j marks i
+    for j in range(1, 7):
+        picked = picked | jnp.roll(occ_b, j)    # occ_b at i-j marks i
+
+    r_prev = jnp.roll(r, 1)
+    diff1 = jnp.abs(r_prev - r)
+    diff2 = jnp.abs(r_next - r)
+    parallel = in_win & (diff1 > 0.02 * r) & (diff2 > 0.02 * r)
+    return picked | parallel
+
+
+def _sector_bounds(start_idx, end_idx, j):
+    """C-truncation sector split (ref: src/featureExtraction.h:195-197)."""
+    sp = lax.div(start_idx * (6 - j) + end_idx * j, jnp.int32(6))
+    ep = lax.div(start_idx * (5 - j) + end_idx * (j + 1), jnp.int32(6)) - 1
+    return sp, ep
+
+
+def _ring_pick(ring_window, sector_cap, edge_threshold, surf_threshold):
+    """Greedy feature picking for one ring.
+
+    ring_window: dict of per-ring local arrays (size W) + scalars.
+    Returns (label [W] int8, surf_sector_mask [W] bool).
+    """
+    curv = ring_window["curv"]
+    col = ring_window["col"]
+    picked0 = ring_window["picked"]
+    sp_loc = ring_window["sp"]    # [6] local sector starts
+    ep_loc = ring_window["ep"]    # [6]
+    sector_ok = ring_window["sector_ok"]  # [6]
+    W = curv.shape[0]
+    CAP = sector_cap
+
+    # ---- precompute sorted candidate tables per sector [6, CAP] ----
+    def sector_table(sp, ep, ok):
+        length = jnp.where(ok, ep - sp + 1, 0)
+        slots = jnp.arange(CAP, dtype=jnp.int32)
+        pos = jnp.clip(sp + slots, 0, W - 1)
+        in_seg = slots < length
+        cval = jnp.where(in_seg, curv[pos], _INF)
+        # sort region excludes the last element (position ep): it keeps its
+        # slot; padding (+inf keys) stays behind it in original order.
+        sort_key = jnp.where(slots < length - 1, cval, _INF)
+        order = jnp.argsort(sort_key, stable=True)
+        return pos[order], cval[order], in_seg[order]
+
+    js = jnp.arange(6, dtype=jnp.int32)
+    tab_pos, tab_val, tab_valid = jax.vmap(
+        lambda j: sector_table(sp_loc[j], ep_loc[j], sector_ok[j])
+    )(js)  # [6, CAP]
+
+    # ---- build the serialized candidate stream ----
+    # per sector: corner phase = slots CAP-1..0 (descending curvature,
+    # ref :208), then surf phase = slots 0..CAP-1 (ascending, ref :245).
+    rev = jnp.flip(jnp.arange(CAP, dtype=jnp.int32))
+    fwd = jnp.arange(CAP, dtype=jnp.int32)
+    stream_pos = jnp.concatenate(
+        [jnp.concatenate([tab_pos[j][rev], tab_pos[j][fwd]]) for j in range(6)]
+    )
+    stream_val = jnp.concatenate(
+        [jnp.concatenate([tab_val[j][rev], tab_val[j][fwd]]) for j in range(6)]
+    )
+    stream_valid = jnp.concatenate(
+        [jnp.concatenate([tab_valid[j][rev], tab_valid[j][fwd]]) for j in range(6)]
+    )
+    n_steps = 12 * CAP
+    step_idx = jnp.arange(n_steps, dtype=jnp.int32)
+    is_corner = (step_idx // CAP) % 2 == 0
+    sector_start = step_idx % (2 * CAP) == 0
+
+    def body(carry, xs):
+        picked, label, ccount = carry
+        pos, val, valid, corner_phase, reset = xs
+        ccount = jnp.where(reset, 0, ccount)
+
+        not_picked = ~picked[pos]
+        if True:  # corner/surf decision (kept branch-free)
+            qualify_c = valid & corner_phase & not_picked & (val > edge_threshold)
+            do_c = qualify_c & (ccount < 20)  # 21st qualifier breaks (ref :221)
+            ccount = ccount + qualify_c.astype(jnp.int32)
+            qualify_s = valid & (~corner_phase) & not_picked & (val < surf_threshold)
+            do = do_c | qualify_s
+
+        new_label = jnp.where(do_c, jnp.int8(1), jnp.int8(-1))
+        label = label.at[pos].set(jnp.where(do, new_label, label[pos]))
+        picked = picked.at[pos].set(jnp.where(do, True, picked[pos]))
+
+        # +-5 neighbor suppression with column-gap early break (ref :227-240).
+        allow = do
+        for l in range(1, 6):
+            p_hi = jnp.minimum(pos + l, W - 1)
+            gap = jnp.abs(col[p_hi] - col[jnp.maximum(p_hi - 1, 0)])
+            allow = allow & (gap <= 10)
+            picked = picked.at[p_hi].set(picked[p_hi] | allow)
+        allow = do
+        for l in range(1, 6):
+            p_lo = jnp.maximum(pos - l, 0)
+            gap = jnp.abs(col[p_lo] - col[jnp.minimum(p_lo + 1, W - 1)])
+            allow = allow & (gap <= 10)
+            picked = picked.at[p_lo].set(picked[p_lo] | allow)
+
+        return (picked, label, ccount), None
+
+    label0 = jnp.zeros((W,), jnp.int8)
+    (picked, label, _), _ = lax.scan(
+        body,
+        (picked0, label0, jnp.int32(0)),
+        (stream_pos, stream_val, stream_valid, is_corner, sector_start),
+    )
+
+    # surface gathering covers every non-skipped sector span (ref :279-284)
+    w_idx = jnp.arange(W, dtype=jnp.int32)
+    surf_span = jnp.zeros((W,), bool)
+    for j in range(6):
+        surf_span = surf_span | (
+            sector_ok[j] & (w_idx >= sp_loc[j]) & (w_idx <= ep_loc[j])
+        )
+    return label, surf_span
+
+
+@partial(jax.jit, static_argnames=("n_scan", "horizon_scan", "sector_cap",
+                                   "corner_cap", "surf_cap"))
+def _extract_features_impl(cloud: CloudInfo, edge_threshold, surf_threshold,
+                           surf_leaf, *, n_scan, horizon_scan, sector_cap,
+                           corner_cap, surf_cap):
+    P = cloud.point_range.shape[0]
+    num = cloud.num_points
+
+    curv, _ = _curvature_flat(cloud.point_range, num)
+    picked0 = _occlusion_mask(cloud.point_range, cloud.point_col_ind, num)
+
+    # Per-ring local windows.  Flat position of ring r's first point:
+    ring_counts = (cloud.end_ring_index + 1 + 5) - (cloud.start_ring_index + 1 - 5)
+    ring_first = cloud.start_ring_index + 1 - 5  # invert :650 (count-1+5)
+    MARGIN = 8
+    W = horizon_scan + 2 * MARGIN
+
+    def gather_window(r):
+        ws = ring_first[r] - MARGIN
+        idx = ws + jnp.arange(W, dtype=jnp.int32)
+        ok = (idx >= 0) & (idx < P)
+        idx_c = jnp.clip(idx, 0, P - 1)
+        sp = jnp.zeros((6,), jnp.int32)
+        ep = jnp.zeros((6,), jnp.int32)
+        for j in range(6):
+            s, e = _sector_bounds(cloud.start_ring_index[r],
+                                  cloud.end_ring_index[r], jnp.int32(j))
+            sp = sp.at[j].set(s - ws)
+            ep = ep.at[j].set(e - ws)
+        sector_ok = sp < ep  # ref :199 skips sp >= ep
+        return dict(
+            curv=jnp.where(ok, curv[idx_c], 0.0),
+            col=jnp.where(ok, cloud.point_col_ind[idx_c], -(10 ** 6)),
+            picked=jnp.where(ok, picked0[idx_c], True),
+            xyz=jnp.where(ok[:, None], cloud.points[idx_c], 0.0),
+            pvalid=ok & cloud.point_valid[idx_c],
+            sp=sp,
+            ep=ep,
+            sector_ok=sector_ok,
+        )
+
+    windows = jax.vmap(gather_window)(jnp.arange(n_scan))
+
+    label, surf_span = jax.vmap(
+        lambda w: _ring_pick(w, sector_cap, edge_threshold, surf_threshold)
+    )(windows)  # [n_scan, W]
+
+    # ---- corner set: label == 1, compacted per ring ----
+    ring_corner_cap = corner_cap // n_scan
+    corner_mask_w = (label == 1) & windows["pvalid"]
+
+    def compact_ring(xyz, mask, cap):
+        order = jnp.argsort(~mask, stable=True)[:cap]
+        m = mask[order]
+        return jnp.where(m[:, None], xyz[order], 0.0), m
+
+    corner_xyz, corner_mask = jax.vmap(
+        lambda x, m: compact_ring(x, m, ring_corner_cap)
+    )(windows["xyz"], corner_mask_w)
+
+    # ---- surface set: label <= 0 within sector spans, per-ring voxel DS ----
+    ring_surf_cap = surf_cap // n_scan
+    surf_mask_w = surf_span & (label <= 0) & windows["pvalid"]
+    surf_xyz, surf_mask, _ = jax.vmap(
+        lambda x, m: voxel_downsample(x, m, surf_leaf, ring_surf_cap)
+    )(windows["xyz"], surf_mask_w)
+
+    return ScanFeatures(
+        corner_xyz=corner_xyz.reshape(corner_cap, 3),
+        corner_mask=corner_mask.reshape(corner_cap),
+        surf_xyz=surf_xyz.reshape(surf_cap, 3),
+        surf_mask=surf_mask.reshape(surf_cap),
+    )
+
+
+def extract_features(params: Params, cloud: CloudInfo) -> ScanFeatures:
+    """Full feature extraction (laserCloudInfoHandler body,
+    ref: src/featureExtraction.h:88-103)."""
+    return _extract_features_impl(
+        cloud,
+        jnp.float32(params.edge_threshold),
+        jnp.float32(params.surf_threshold),
+        params.odometry_surf_leaf_size,
+        n_scan=params.n_scan,
+        horizon_scan=params.horizon_scan,
+        sector_cap=params.sector_cap,
+        corner_cap=params.corner_cap,
+        surf_cap=params.surf_cap,
+    )

@@ -1,0 +1,78 @@
+"""Batched 5-nearest-neighbor search: the KD-tree replacement.
+
+The reference builds FLANN KD-trees over the local map each scan and runs
+serial 5-NN queries inside OpenMP loops (ref: src/mapOptmization.h:1020,1143,
+1413-1414).  Tree construction and pointer chasing are hostile to TPUs;
+instead the map is streamed through the MXU in chunks:
+
+    d2(q, m) = |q|^2 + |m|^2 - 2 q . m^T      (one [Q, C] matmul per chunk)
+
+with a running top-5 merge across chunks (lax.scan), so HBM holds only the
+padded map and one [Q, C+5] merge buffer — the moral equivalent of blockwise
+attention's online reduction (SURVEY.md §5 "long-context" note).
+
+Returned distances are exact squared distances; padded/masked map points get
++inf and can never enter the top-5 (their indices are still in range).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_BIG = jnp.float32(3.0e38)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def knn(query, ref, ref_mask, k: int = 5, chunk: int = 4096):
+    """k-NN of each query point in the masked reference set.
+
+    query: [Q, 3]; ref: [M, 3]; ref_mask: [M] bool.
+    Returns (dists2 [Q, k] ascending, idx [Q, k] into ref).
+    M must be a multiple of `chunk` (pad the map to its capacity).
+    """
+    Q = query.shape[0]
+    M = ref.shape[0]
+    assert M % chunk == 0, f"map capacity {M} not a multiple of chunk {chunk}"
+    n_chunks = M // chunk
+
+    # Center on the query centroid: d2 is translation-invariant and smaller
+    # magnitudes keep the |q|^2+|m|^2-2qm cancellation accurate in f32.
+    center = jnp.mean(query, axis=0)
+    query = query - center
+    ref = ref - center
+
+    q_norm = jnp.sum(query * query, axis=-1, keepdims=True)  # [Q,1]
+    ref_c = ref.reshape(n_chunks, chunk, 3)
+    mask_c = ref_mask.reshape(n_chunks, chunk)
+
+    init_d = jnp.full((Q, k), _BIG, jnp.float32)
+    init_i = jnp.zeros((Q, k), jnp.int32)
+
+    def body(carry, xs):
+        best_d, best_i = carry
+        pts, msk, base = xs
+        r_norm = jnp.sum(pts * pts, axis=-1)  # [C]
+        cross = jnp.dot(query, pts.T, precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+        d2 = q_norm + r_norm[None, :] - 2.0 * cross  # [Q, C]
+        d2 = jnp.where(msk[None, :], jnp.maximum(d2, 0.0), _BIG)
+        idx = base + jnp.arange(chunk, dtype=jnp.int32)
+        cand_d = jnp.concatenate([best_d, d2], axis=1)
+        cand_i = jnp.concatenate([best_i, jnp.broadcast_to(idx, (Q, chunk))], axis=1)
+        neg_top, top_pos = lax.top_k(-cand_d, k)
+        best_d = -neg_top
+        best_i = jnp.take_along_axis(cand_i, top_pos, axis=1)
+        return (best_d, best_i), None
+
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (best_d, best_i), _ = lax.scan(body, (init_d, init_i), (ref_c, mask_c, bases))
+    return best_d, best_i
+
+
+def knn5(query, ref, ref_mask, chunk: int = 4096):
+    """5-NN (the reference's nearestKSearch(point, 5, ...) everywhere)."""
+    return knn(query, ref, ref_mask, k=5, chunk=chunk)

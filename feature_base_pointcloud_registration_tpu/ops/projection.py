@@ -1,0 +1,208 @@
+"""Range-image projection, motion deskew, and row-major compaction.
+
+TPU-native replacement for ImageProjection's hot loop
+(ref: src/imageProjection.cpp:583-670 projectPointCloud/cloudExtraction and
+:494-580 findRotation/deskewPoint).  The reference iterates points serially
+and writes first-come-first-served into a 16x1800 cv::Mat; here the whole
+scan is processed as one fused vector program:
+
+  * cell assignment is a closed-form map (ring, atan2 column),
+  * "first write wins" (ref :623-624) becomes a segment-min scatter of the
+    arrival index over cells,
+  * per-point IMU rotation interpolation (ref :494-526) is a vectorized
+    searchsorted + lerp over the integrated gyro table,
+  * compaction with ring start/end indices (ref :642-670) is a mask sort.
+
+Everything is fixed-shape: output arrays are padded to n_scan*horizon_scan
+with validity masks.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Params, FLT_MAX
+from ..geom.se3 import euler_to_rot
+from ..pipeline.cloud_info import CloudInfo, DeskewInfo, RawScan
+
+
+def _find_rotation(point_time, imu_time, imu_rot, imu_count):
+    """Interpolate integrated gyro rotation at `point_time` (batched).
+
+    Bit-matches findRotation (ref: src/imageProjection.cpp:494-526):
+      front = first imu index with imu_time[front] > t, capped at imu_count;
+      take rot[front] directly if t > imu_time[front] (ran off the end) or
+      front == 0; else lerp between front-1 and front.
+    imu_time is padded with +inf beyond imu_count.
+    """
+    q = imu_time.shape[0]
+    # first index where point_time < imu_time[idx]; +inf padding keeps
+    # searchsorted consistent with the reference's linear scan.
+    front = jnp.searchsorted(imu_time, point_time, side="right")
+    front = jnp.minimum(front, imu_count)
+    t_front = imu_time[jnp.minimum(front, q - 1)]
+    direct = (point_time > t_front) | (front == 0)
+    back = jnp.maximum(front - 1, 0)
+    t_back = imu_time[back]
+    denom = t_front - t_back
+    ratio_front = jnp.where(denom > 0, (point_time - t_back) / jnp.where(denom == 0, 1.0, denom), 0.0)
+    rot_front = imu_rot[jnp.minimum(front, q - 1)]
+    rot_back = imu_rot[back]
+    interp = rot_front * ratio_front[..., None] + rot_back * (1.0 - ratio_front)[..., None]
+    return jnp.where(direct[..., None], rot_front, interp)
+
+
+def deskew_points(xyz, rel_time, deskew_info: DeskewInfo, first_idx=None,
+                  scan_duration=None):
+    """Motion-compensate points into the scan-start lidar frame.
+
+    Vectorized deskewPoint (ref: src/imageProjection.cpp:544-580): per-point
+    rotation from the gyro integral table, optional positional interpolation
+    (the reference stubs position to zero, :528-542 — we keep the odom-based
+    path behind `odom_deskew_flag` for capability parity), referenced to the
+    first projected point's transform (firstPointFlag, :562-566).
+
+    xyz: [N,3]; rel_time: [N] seconds since scan start.
+    first_idx: index of the reference ("first") point; default 0.
+    """
+    rot = jax.vmap(
+        lambda t: _find_rotation(t, deskew_info.imu_time, deskew_info.imu_rot,
+                                 deskew_info.imu_count)
+    )(rel_time)  # [N,3] (rotX, rotY, rotZ)
+
+    if scan_duration is not None:
+        ratio = rel_time / jnp.maximum(scan_duration, 1e-9)
+        pos = jnp.where(
+            deskew_info.odom_deskew_flag & deskew_info.odom_available,
+            ratio[:, None] * deskew_info.odom_incre[None, :],
+            0.0,
+        )
+    else:
+        pos = jnp.zeros_like(xyz)
+
+    R = euler_to_rot(rot[:, 0], rot[:, 1], rot[:, 2])  # [N,3,3]
+    if first_idx is None:
+        first_idx = 0
+    R0 = R[first_idx]
+    p0 = pos[first_idx]
+    # transBt = inv(T0) @ Ti  (ref :564,571)
+    prec = jax.lax.Precision.HIGHEST
+    Rbt = jnp.einsum("ji,njk->nik", R0, R, precision=prec)  # R0^T @ Ri
+    tbt = jnp.einsum("ji,nj->ni", R0, pos - p0, precision=prec)
+    out = jnp.einsum("nij,nj->ni", Rbt, xyz, precision=prec) + tbt
+    return out
+
+
+@partial(jax.jit, static_argnames=("n_scan", "horizon_scan", "min_range",
+                                   "enable_deskew"))
+def _project_scan_impl(scan: RawScan, deskew_info: DeskewInfo, *, n_scan,
+                       horizon_scan, min_range, enable_deskew):
+    N = scan.xyz.shape[0]
+    G = n_scan * horizon_scan
+
+    x, y, z = scan.xyz[:, 0], scan.xyz[:, 1], scan.xyz[:, 2]
+    rng = jnp.sqrt(x * x + y * y + z * z)
+
+    row = scan.ring
+    row_ok = (row >= 0) & (row < n_scan)
+
+    # columnIdn = -round((atan2(x,y)*180/pi - 90)/ang_res) + H/2, wrapped
+    # (ref: src/imageProjection.cpp:605-615).
+    horizon_angle = jnp.arctan2(x, y) * (180.0 / math.pi)
+    ang_res_x = 360.0 / float(horizon_scan)
+    col = (-jnp.round((horizon_angle - 90.0) / ang_res_x)).astype(jnp.int32) + horizon_scan // 2
+    col = jnp.where(col >= horizon_scan, col - horizon_scan, col)
+    col_ok = (col >= 0) & (col < horizon_scan)
+
+    range_ok = rng >= min_range  # ref :620 drops range < 1.0
+    gate = scan.valid & row_ok & col_ok & range_ok
+
+    cell = jnp.where(gate, row * horizon_scan + col, G)  # G = dropped
+
+    # First-write-wins per cell = min arrival index per cell (ref :623-633).
+    idx = jnp.arange(N, dtype=jnp.int32)
+    winner = jnp.full((G,), N, jnp.int32).at[cell].min(
+        jnp.where(gate, idx, N), mode="drop"
+    )
+    grid_valid = winner < N
+    wsafe = jnp.minimum(winner, N - 1)
+
+    # Deskew all candidate points relative to the first surviving point
+    # (firstPointFlag semantics, ref :562-566).
+    if enable_deskew:
+        any_valid = jnp.any(gate)
+        first_idx = jnp.argmax(gate)  # min index with gate=True
+        do = deskew_info.imu_available & any_valid
+        desk = deskew_points(scan.xyz, scan.time, deskew_info,
+                             first_idx=first_idx)
+        pts = jnp.where(do, desk, scan.xyz)
+    else:
+        pts = scan.xyz
+
+    grid_range = jnp.where(grid_valid, rng[wsafe], FLT_MAX)
+    grid_xyz = jnp.where(grid_valid[:, None], pts[wsafe], 0.0)
+    grid_intensity = jnp.where(grid_valid, scan.intensity[wsafe], 0.0)
+
+    # --- cloudExtraction: row-major compaction (ref :642-670) ---
+    # Stable sort pushes invalid cells to the back while keeping row-major
+    # order among valid ones; that reproduces the serial push_back order.
+    order = jnp.argsort(~grid_valid, stable=True)
+    num_points = jnp.sum(grid_valid).astype(jnp.int32)
+    comp_valid = jnp.arange(G) < num_points
+
+    comp_xyz = grid_xyz[order]
+    comp_range = jnp.where(comp_valid, grid_range[order], 0.0)
+    comp_intensity = grid_intensity[order]
+    comp_col = jnp.where(comp_valid, (order % horizon_scan).astype(jnp.int32), 0)
+
+    # Ring start/end with the ±5 curvature margins (ref :650,668).
+    ring_counts = jnp.sum(
+        grid_valid.reshape(n_scan, horizon_scan), axis=1
+    ).astype(jnp.int32)
+    count_before = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(ring_counts)[:-1]]
+    )
+    start_ring_index = count_before - 1 + 5
+    end_ring_index = count_before + ring_counts - 1 - 5
+
+    return CloudInfo(
+        start_ring_index=start_ring_index,
+        end_ring_index=end_ring_index,
+        point_col_ind=comp_col,
+        point_range=comp_range,
+        point_valid=comp_valid,
+        num_points=num_points,
+        points=comp_xyz,
+        intensity=comp_intensity,
+        imu_available=deskew_info.imu_available,
+        odom_available=deskew_info.odom_available,
+        imu_rpy_init=deskew_info.imu_rpy_init,
+        initial_guess=deskew_info.initial_guess,
+        reset_id=deskew_info.reset_id,
+    )
+
+
+def project_scan(params: Params, scan: RawScan,
+                 deskew_info: DeskewInfo | None = None,
+                 enable_deskew: bool = True) -> CloudInfo:
+    """Project a raw scan to the (ring, column) grid and compact it.
+
+    Fused equivalent of projectPointCloud + cloudExtraction
+    (ref: src/imageProjection.cpp:583-670); deskew applied per point when the
+    scan has time stamps and IMU info (ref :635, :544-580).
+    """
+    if deskew_info is None:
+        deskew_info = DeskewInfo.empty(params.imu_queue_len)
+        enable_deskew = False
+    return _project_scan_impl(
+        scan,
+        deskew_info,
+        n_scan=params.n_scan,
+        horizon_scan=params.horizon_scan,
+        min_range=1.0,
+        enable_deskew=enable_deskew,
+    )

@@ -1,0 +1,179 @@
+"""Fused scan-to-map registration: the hottest loop of the system.
+
+Rebuild of scan2MapOptimization + transformUpdate (ref: src/mapOptmization.h:
+1403-1489) as a single jitted lax.while_loop: up to 30 iterations of
+{transform features -> streamed 5-NN -> line/plane fits -> masked GN step},
+early exit on convergence, degeneracy projector cached from iteration 0.
+Feature-count gating (edge > 10 && surf > 100, ref :1410) freezes the pose
+when the scan is too sparse, like the reference's warning path.
+
+The whole function is vmap-able over a batch of (scan features, local map,
+initial pose) tuples and shard_map-able over a device mesh — this is the
+`batch_register` axis of BASELINE.json's throughput target.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import Params
+from ..geom.se3 import euler_to_rot, quat_from_euler, quat_slerp, euler_from_quat
+from ..pipeline.cloud_info import FeatureMap, ScanFeatures
+from .correspondence import corner_correspondence, surf_correspondence
+from .solver import GNState, gn_step
+
+
+class RegisterResult(NamedTuple):
+    pose6: jnp.ndarray         # f32 [6] optimized pose
+    converged: jnp.ndarray     # bool []
+    iterations: jnp.ndarray    # i32 []
+    n_corr: jnp.ndarray        # i32 [] correspondences in the final iteration
+    is_degenerate: jnp.ndarray  # bool []
+    valid: jnp.ndarray         # bool [] feature-count gate passed
+
+
+@partial(jax.jit, static_argnames=(
+    "max_iterations", "min_correspondences", "eigen_threshold",
+    "edge_min_valid", "surf_min_valid", "chunk",
+    "converge_rot_deg", "converge_trans_cm"))
+def register_scan(
+    features: ScanFeatures,
+    local_map: FeatureMap,
+    init_pose6,
+    *,
+    max_iterations: int = 30,
+    min_correspondences: int = 50,
+    eigen_threshold: float = 100.0,
+    edge_min_valid: int = 10,
+    surf_min_valid: int = 100,
+    chunk: int = 4096,
+    converge_rot_deg: float = 0.05,
+    converge_trans_cm: float = 0.05,
+) -> RegisterResult:
+    """LOAM scan-to-map Gauss-Newton solve.
+
+    features: (already downsampled) corner/surf sets in the lidar frame;
+    local_map: padded corner/surf map in the world frame;
+    init_pose6: [6] (roll,pitch,yaw,x,y,z) initial guess.
+    """
+    n_edge = jnp.sum(features.corner_mask).astype(jnp.int32)
+    n_surf = jnp.sum(features.surf_mask).astype(jnp.int32)
+    gate = (n_edge > edge_min_valid) & (n_surf > surf_min_valid)  # ref :1410
+
+    init = GNState(
+        pose6=jnp.asarray(init_pose6, jnp.float32),
+        matP=jnp.eye(6, dtype=jnp.float32),
+        is_degenerate=jnp.asarray(False),
+        converged=jnp.asarray(False),
+        n_corr=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(carry):
+        it, state = carry
+        return (it < max_iterations) & ~state.converged & gate
+
+    def body(carry):
+        it, state = carry
+        pose = state.pose6
+        R = euler_to_rot(pose[0], pose[1], pose[2])
+        t = pose[3:6]
+
+        prec = jax.lax.Precision.HIGHEST
+        corner_w = jnp.dot(features.corner_xyz, R.T, precision=prec) + t
+        surf_w = jnp.dot(features.surf_xyz, R.T, precision=prec) + t
+
+        c_coeff, c_resid, c_mask = corner_correspondence(
+            corner_w, features.corner_mask,
+            local_map.corner_xyz, local_map.corner_mask, chunk=chunk)
+        s_coeff, s_resid, s_mask = surf_correspondence(
+            surf_w, features.surf_mask,
+            local_map.surf_xyz, local_map.surf_mask, chunk=chunk)
+
+        pts = jnp.concatenate([features.corner_xyz, features.surf_xyz], axis=0)
+        coeff = jnp.concatenate([c_coeff, s_coeff], axis=0)
+        resid = jnp.concatenate([c_resid, s_resid], axis=0)
+        mask = jnp.concatenate([c_mask, s_mask], axis=0)
+
+        state = gn_step(
+            state, pts, coeff, resid, mask, it,
+            min_correspondences=min_correspondences,
+            eigen_threshold=eigen_threshold,
+            converge_rot_deg=converge_rot_deg,
+            converge_trans_cm=converge_trans_cm,
+        )
+        return (it + 1, state)
+
+    it, state = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), init))
+
+    return RegisterResult(
+        pose6=state.pose6,
+        converged=state.converged,
+        iterations=it,
+        n_corr=state.n_corr,
+        is_degenerate=state.is_degenerate,
+        valid=gate,
+    )
+
+
+def transform_update(pose6, imu_rpy_init, imu_available,
+                     imu_weight: float = 0.05,
+                     rotation_tolerance: float = 1000.0,
+                     z_tolerance: float = 1000.0):
+    """IMU attitude slerp fusion + clamp epilogue
+    (transformUpdate/constraintTransformation, ref: src/mapOptmization.h:
+    1444-1489): when IMU attitude is available and |pitch| < 1.4 rad, slerp
+    roll and pitch toward it with weight 0.05, then clamp roll/pitch/z."""
+    pose6 = jnp.asarray(pose6, jnp.float32)
+    use = imu_available & (jnp.abs(imu_rpy_init[1]) < 1.4)
+
+    zero = jnp.zeros((), jnp.float32)
+    q_tr = quat_from_euler(pose6[0], zero, zero)
+    q_imu = quat_from_euler(imu_rpy_init[0], zero, zero)
+    roll_mid, _, _ = euler_from_quat(quat_slerp(q_tr, q_imu, imu_weight))
+
+    q_tp = quat_from_euler(zero, pose6[1], zero)
+    q_ip = quat_from_euler(zero, imu_rpy_init[1], zero)
+    _, pitch_mid, _ = euler_from_quat(quat_slerp(q_tp, q_ip, imu_weight))
+
+    roll = jnp.where(use, roll_mid, pose6[0])
+    pitch = jnp.where(use, pitch_mid, pose6[1])
+
+    roll = jnp.clip(roll, -rotation_tolerance, rotation_tolerance)
+    pitch = jnp.clip(pitch, -rotation_tolerance, rotation_tolerance)
+    z = jnp.clip(pose6[5], -z_tolerance, z_tolerance)
+    return pose6.at[0].set(roll).at[1].set(pitch).at[5].set(z)
+
+
+def register_scan_with_params(params: Params, features: ScanFeatures,
+                              local_map: FeatureMap, init_pose6,
+                              imu_rpy_init=None, imu_available=None
+                              ) -> RegisterResult:
+    """Parameterized wrapper wiring Params thresholds + IMU fusion epilogue."""
+    res = register_scan(
+        features, local_map, init_pose6,
+        max_iterations=params.max_gn_iterations,
+        min_correspondences=params.min_correspondences,
+        eigen_threshold=params.degeneracy_eigen_threshold,
+        edge_min_valid=params.edge_feature_min_valid_num,
+        surf_min_valid=params.surf_feature_min_valid_num,
+        chunk=params.knn_chunk,
+        converge_rot_deg=params.converge_delta_rot_deg,
+        converge_trans_cm=params.converge_delta_trans_cm,
+    )
+    if imu_rpy_init is not None:
+        pose = transform_update(
+            res.pose6, imu_rpy_init,
+            imu_available if imu_available is not None else jnp.asarray(True),
+            imu_weight=params.imu_attitude_weight,
+            rotation_tolerance=params.rotation_tolerance,
+            z_tolerance=params.z_tolerance,
+        )
+        # the epilogue only applies when the solver actually ran (ref :1438)
+        pose = jnp.where(res.valid, pose, res.pose6)
+        res = res._replace(pose6=pose)
+    return res
