@@ -1,0 +1,114 @@
+"""Benchmark: batched scan-to-map registration throughput (scans/s).
+
+The driver runs this on real TPU hardware.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "scans/s", "vs_baseline": N}
+
+vs_baseline is measured against BASELINE.json's north-star target of
+1000 scans/s batched scan-to-map registration (the reference publishes no
+throughput numbers; its config caps processing at ~6.7 Hz,
+/root/reference/config/params.yaml:61).
+
+Pipeline benchmarked: full LOAM registration solve — per GN iteration:
+feature transform, streamed 5-NN against corner+surf local maps, line/plane
+fits, masked Gauss-Newton step with degeneracy guard; up to `ITERS`
+iterations with convergence early-exit — vmapped over a batch of scans.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from feature_base_pointcloud_registration_tpu.config import Params
+    from feature_base_pointcloud_registration_tpu.io.synthetic import (
+        SyntheticWorld, build_feature_map, simulate_scan)
+    from feature_base_pointcloud_registration_tpu.ops.features import (
+        extract_features)
+    from feature_base_pointcloud_registration_tpu.ops.projection import (
+        project_scan)
+    from feature_base_pointcloud_registration_tpu.parallel.batch import (
+        batch_register)
+    from feature_base_pointcloud_registration_tpu.pipeline.cloud_info import (
+        FeatureMap, RawScan)
+    from feature_base_pointcloud_registration_tpu.pipeline.frontend import (
+        downsample_features)
+
+    B = int(os.environ.get("BENCH_BATCH", "64"))
+    REPS = int(os.environ.get("BENCH_REPS", "5"))
+    params = Params(map_corner_cap=16384, map_surf_cap=65536, knn_chunk=4096)
+
+    world = SyntheticWorld()
+    rng = np.random.RandomState(0)
+
+    # Prepare a handful of distinct scans' features (front end), tile to B.
+    n_unique = 8
+    feats_list, gt_list = [], []
+    for i in range(n_unique):
+        pose = np.array([0, 0, rng.uniform(-1, 1), rng.uniform(-6, 6),
+                         rng.uniform(-6, 6), 0.0], np.float32)
+        s = simulate_scan(world, pose, seed=i)
+        raw = RawScan.from_numpy(s["xyz"], s["intensity"], s["ring"], s["time"])
+        raw = raw._replace(valid=jnp.asarray(s["valid"]))
+        cloud = project_scan(params, raw, None)
+        feats = downsample_features(params, extract_features(params, cloud))
+        feats_list.append(jax.tree.map(np.asarray, feats))
+        gt_list.append(pose)
+
+    idx = np.arange(B) % n_unique
+    feats = jax.tree.map(
+        lambda *a: jnp.asarray(np.stack([np.asarray(x) for x in a])),
+        *[feats_list[i] for i in idx])
+    gt = np.stack([gt_list[i] for i in idx])
+    guesses = gt + rng.uniform(-1, 1, (B, 6)).astype(np.float32) * np.array(
+        [0.02, 0.02, 0.05, 0.3, 0.3, 0.1], np.float32)
+
+    mcx, mcm, msx, msm = build_feature_map(world, params.map_corner_cap,
+                                           params.map_surf_cap)
+    fmap = FeatureMap(jnp.asarray(mcx), jnp.asarray(mcm),
+                      jnp.asarray(msx), jnp.asarray(msm))
+    guesses_j = jnp.asarray(guesses)
+
+    # warmup/compile
+    res = batch_register(feats, fmap, guesses_j, chunk=params.knn_chunk)
+    res.pose6.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        res = batch_register(feats, fmap, guesses_j, chunk=params.knn_chunk)
+    res.pose6.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    scans_per_s = B * REPS / dt
+    p50_ms = dt / REPS / B * 1000.0
+
+    # sanity: solutions must actually be correct
+    poses = np.array(res.pose6)
+    err_t = np.linalg.norm(poses[:, 3:] - gt[:, 3:], axis=1)
+    ate = float(np.sqrt((err_t ** 2).mean()))
+
+    print(json.dumps({
+        "metric": "batched scan-to-map registration throughput",
+        "value": round(scans_per_s, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_s / 1000.0, 4),
+        "extra": {
+            "batch": B,
+            "reps": REPS,
+            "p50_latency_ms_per_scan": round(p50_ms, 3),
+            "ate_m": round(ate, 5),
+            "n_converged": int(np.array(res.converged).sum()),
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

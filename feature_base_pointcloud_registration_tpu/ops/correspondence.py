@@ -25,18 +25,16 @@ import jax.numpy as jnp
 
 _PREC = jax.lax.Precision.HIGHEST
 
-from .knn import knn5
 
 
-def corner_correspondence(pts_world, valid, map_xyz, map_mask,
-                          chunk: int = 4096):
+def corner_correspondence(pts_world, valid, knn_fn):
     """Point-to-line coefficients for corner features.
 
-    pts_world: [N,3] query points in map frame; valid: [N].
+    pts_world: [N,3] query points in map frame; valid: [N];
+    knn_fn: q -> (d2 [N,5], nn [N,5,3]) — local or map-sharded search.
     Returns (coeff [N,3], resid [N], mask [N]).
     """
-    d2, idx = knn5(pts_world, map_xyz, map_mask, chunk=chunk)
-    nn = map_xyz[idx]                                   # [N,5,3]
+    d2, nn = knn_fn(pts_world)                          # [N,5], [N,5,3]
     gate_nn = valid & (d2[:, 4] < 1.0)
 
     c = jnp.mean(nn, axis=1)                            # [N,3]
@@ -81,16 +79,14 @@ def corner_correspondence(pts_world, valid, map_xyz, map_mask,
     return coeff, resid, mask
 
 
-def surf_correspondence(pts_world, valid, map_xyz, map_mask,
-                        chunk: int = 4096):
+def surf_correspondence(pts_world, valid, knn_fn):
     """Point-to-plane coefficients for surface features.
 
     Plane fit solves A n = -1 over the 5 neighbors (ref :1169) via 3x3
     normal equations; rank-deficient fits are rejected by the 0.2 m check.
     Returns (coeff [N,3], resid [N], mask [N]).
     """
-    d2, idx = knn5(pts_world, map_xyz, map_mask, chunk=chunk)
-    nn = map_xyz[idx]                                   # [N,5,3]
+    d2, nn = knn_fn(pts_world)                          # [N,5], [N,5,3]
     gate_nn = valid & (d2[:, 4] < 1.0)
 
     G = jnp.einsum("nki,nkj->nij", nn, nn, precision=_PREC)              # [N,3,3] = A^T A

@@ -49,8 +49,12 @@ def knn(query, ref, ref_mask, k: int = 5, chunk: int = 4096):
     ref_c = ref.reshape(n_chunks, chunk, 3)
     mask_c = ref_mask.reshape(n_chunks, chunk)
 
-    init_d = jnp.full((Q, k), _BIG, jnp.float32)
-    init_i = jnp.zeros((Q, k), jnp.int32)
+    # Tie the initial carry to BOTH inputs so its "varying" axes match the
+    # loop output under shard_map (scan-vma rule): query may vary on a data
+    # axis, ref on a map axis.
+    vary = 0.0 * q_norm + 0.0 * ref[0].sum()
+    init_d = jnp.full((Q, k), _BIG, jnp.float32) + vary
+    init_i = jnp.zeros((Q, k), jnp.int32) + vary.astype(jnp.int32)
 
     def body(carry, xs):
         best_d, best_i = carry
@@ -76,3 +80,20 @@ def knn(query, ref, ref_mask, k: int = 5, chunk: int = 4096):
 def knn5(query, ref, ref_mask, chunk: int = 4096):
     """5-NN (the reference's nearestKSearch(point, 5, ...) everywhere)."""
     return knn(query, ref, ref_mask, k=5, chunk=chunk)
+
+
+def knn5_points(query, ref, ref_mask, chunk: int = 4096):
+    """5-NN returning the neighbor *coordinates* instead of indices.
+
+    This is the interface the correspondence stage actually needs, and it is
+    what a map-sharded SPMD search can provide without global indices
+    (each device all-gathers its local top-5 candidates' coordinates).
+    Returns (d2 [Q,5], nn [Q,5,3]).
+    """
+    d2, idx = knn(query, ref, ref_mask, k=5, chunk=chunk)
+    return d2, ref[idx]
+
+
+def make_local_knn(ref, ref_mask, chunk: int = 4096):
+    """Single-device knn closure for register_core."""
+    return lambda q: knn5_points(q, ref, ref_mask, chunk=chunk)

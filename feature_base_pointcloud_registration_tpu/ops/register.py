@@ -25,6 +25,7 @@ from ..config import Params
 from ..geom.se3 import euler_to_rot, quat_from_euler, quat_slerp, euler_from_quat
 from ..pipeline.cloud_info import FeatureMap, ScanFeatures
 from .correspondence import corner_correspondence, surf_correspondence
+from .knn import make_local_knn
 from .solver import GNState, gn_step
 
 
@@ -35,6 +36,93 @@ class RegisterResult(NamedTuple):
     n_corr: jnp.ndarray        # i32 [] correspondences in the final iteration
     is_degenerate: jnp.ndarray  # bool []
     valid: jnp.ndarray         # bool [] feature-count gate passed
+
+
+def register_core(
+    features: ScanFeatures,
+    corner_knn,
+    surf_knn,
+    init_pose6,
+    *,
+    max_iterations: int = 30,
+    min_correspondences: int = 50,
+    eigen_threshold: float = 100.0,
+    edge_min_valid: int = 10,
+    surf_min_valid: int = 100,
+    converge_rot_deg: float = 0.05,
+    converge_trans_cm: float = 0.05,
+    vary=0.0,
+) -> RegisterResult:
+    """LOAM scan-to-map Gauss-Newton solve with pluggable neighbor search.
+
+    corner_knn / surf_knn: q [N,3] -> (d2 [N,5], nn [N,5,3]); either the
+    single-device streamed search (make_local_knn) or a map-sharded SPMD
+    search that merges per-shard top-5 candidates with collectives.
+    Trace inside jit/shard_map; not itself jitted.
+    """
+    n_edge = jnp.sum(features.corner_mask).astype(jnp.int32)
+    n_surf = jnp.sum(features.surf_mask).astype(jnp.int32)
+    gate = (n_edge > edge_min_valid) & (n_surf > surf_min_valid)  # ref :1410
+
+    # `vary` ties constant-initialized carry fields to the (possibly sharded)
+    # inputs so while_loop's varying-manual-axes check passes under shard_map.
+    # Callers running with a sharded map must fold a map-varying zero into
+    # `vary` (see map_sharded_register).
+    pose0 = jnp.asarray(init_pose6, jnp.float32) + vary
+    vary = pose0.sum() * 0.0
+    init = GNState(
+        pose6=pose0,
+        matP=jnp.eye(6, dtype=jnp.float32) + vary,
+        is_degenerate=vary > 1.0,
+        converged=vary > 1.0,
+        n_corr=vary.astype(jnp.int32),
+    )
+
+    it0 = jnp.asarray(0, jnp.int32) + vary.astype(jnp.int32)
+
+    def cond(carry):
+        it, state = carry
+        return (it < max_iterations) & ~state.converged & gate
+
+    def body(carry):
+        it, state = carry
+        pose = state.pose6
+        R = euler_to_rot(pose[0], pose[1], pose[2])
+        t = pose[3:6]
+
+        prec = jax.lax.Precision.HIGHEST
+        corner_w = jnp.dot(features.corner_xyz, R.T, precision=prec) + t
+        surf_w = jnp.dot(features.surf_xyz, R.T, precision=prec) + t
+
+        c_coeff, c_resid, c_mask = corner_correspondence(
+            corner_w, features.corner_mask, corner_knn)
+        s_coeff, s_resid, s_mask = surf_correspondence(
+            surf_w, features.surf_mask, surf_knn)
+
+        pts = jnp.concatenate([features.corner_xyz, features.surf_xyz], axis=0)
+        coeff = jnp.concatenate([c_coeff, s_coeff], axis=0)
+        resid = jnp.concatenate([c_resid, s_resid], axis=0)
+        mask = jnp.concatenate([c_mask, s_mask], axis=0)
+
+        state = gn_step(
+            state, pts, coeff, resid, mask, it,
+            min_correspondences=min_correspondences,
+            eigen_threshold=eigen_threshold,
+            converge_rot_deg=converge_rot_deg,
+            converge_trans_cm=converge_trans_cm,
+        )
+        return (it + 1, state)
+
+    it, state = lax.while_loop(cond, body, (it0, init))
+
+    return RegisterResult(
+        pose6=state.pose6,
+        converged=state.converged,
+        iterations=it,
+        n_corr=state.n_corr,
+        is_degenerate=state.is_degenerate,
+        valid=gate,
+    )
 
 
 @partial(jax.jit, static_argnames=(
@@ -55,68 +143,24 @@ def register_scan(
     converge_rot_deg: float = 0.05,
     converge_trans_cm: float = 0.05,
 ) -> RegisterResult:
-    """LOAM scan-to-map Gauss-Newton solve.
+    """Single-device scan-to-map solve (scan2MapOptimization equivalent).
 
     features: (already downsampled) corner/surf sets in the lidar frame;
     local_map: padded corner/surf map in the world frame;
     init_pose6: [6] (roll,pitch,yaw,x,y,z) initial guess.
     """
-    n_edge = jnp.sum(features.corner_mask).astype(jnp.int32)
-    n_surf = jnp.sum(features.surf_mask).astype(jnp.int32)
-    gate = (n_edge > edge_min_valid) & (n_surf > surf_min_valid)  # ref :1410
-
-    init = GNState(
-        pose6=jnp.asarray(init_pose6, jnp.float32),
-        matP=jnp.eye(6, dtype=jnp.float32),
-        is_degenerate=jnp.asarray(False),
-        converged=jnp.asarray(False),
-        n_corr=jnp.asarray(0, jnp.int32),
-    )
-
-    def cond(carry):
-        it, state = carry
-        return (it < max_iterations) & ~state.converged & gate
-
-    def body(carry):
-        it, state = carry
-        pose = state.pose6
-        R = euler_to_rot(pose[0], pose[1], pose[2])
-        t = pose[3:6]
-
-        prec = jax.lax.Precision.HIGHEST
-        corner_w = jnp.dot(features.corner_xyz, R.T, precision=prec) + t
-        surf_w = jnp.dot(features.surf_xyz, R.T, precision=prec) + t
-
-        c_coeff, c_resid, c_mask = corner_correspondence(
-            corner_w, features.corner_mask,
-            local_map.corner_xyz, local_map.corner_mask, chunk=chunk)
-        s_coeff, s_resid, s_mask = surf_correspondence(
-            surf_w, features.surf_mask,
-            local_map.surf_xyz, local_map.surf_mask, chunk=chunk)
-
-        pts = jnp.concatenate([features.corner_xyz, features.surf_xyz], axis=0)
-        coeff = jnp.concatenate([c_coeff, s_coeff], axis=0)
-        resid = jnp.concatenate([c_resid, s_resid], axis=0)
-        mask = jnp.concatenate([c_mask, s_mask], axis=0)
-
-        state = gn_step(
-            state, pts, coeff, resid, mask, it,
-            min_correspondences=min_correspondences,
-            eigen_threshold=eigen_threshold,
-            converge_rot_deg=converge_rot_deg,
-            converge_trans_cm=converge_trans_cm,
-        )
-        return (it + 1, state)
-
-    it, state = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), init))
-
-    return RegisterResult(
-        pose6=state.pose6,
-        converged=state.converged,
-        iterations=it,
-        n_corr=state.n_corr,
-        is_degenerate=state.is_degenerate,
-        valid=gate,
+    return register_core(
+        features,
+        make_local_knn(local_map.corner_xyz, local_map.corner_mask, chunk),
+        make_local_knn(local_map.surf_xyz, local_map.surf_mask, chunk),
+        init_pose6,
+        max_iterations=max_iterations,
+        min_correspondences=min_correspondences,
+        eigen_threshold=eigen_threshold,
+        edge_min_valid=edge_min_valid,
+        surf_min_valid=surf_min_valid,
+        converge_rot_deg=converge_rot_deg,
+        converge_trans_cm=converge_trans_cm,
     )
 
 

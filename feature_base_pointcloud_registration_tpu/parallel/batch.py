@@ -1,0 +1,97 @@
+"""Batched + sharded registration: the TPU scaling axis.
+
+The reference scales with OpenMP threads inside one scan (ref:
+src/mapOptmization.h:1007,1130; numberOfCores=4).  The TPU equivalent
+(SURVEY.md §2 parallelism note) is throughput over *batches of scans*:
+
+  * `batch_register` — vmap of register_scan over a leading batch dim; one
+    program, all scans advance their GN iterations in lock-step on one chip.
+  * `shard_register` — shard_map over a device mesh: the batch is split on
+    the `data` axis (each device registers its shard against the replicated
+    local map); convergence stats reduce with psum over ICI.
+
+Both work with a shared local map (offline mapping against one city block)
+or per-scan maps (batched leading dim on the map too).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.register import RegisterResult, register_scan
+from ..pipeline.cloud_info import FeatureMap, ScanFeatures
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    """1-D data mesh over all (or given) devices."""
+    import numpy as np
+
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+@partial(jax.jit, static_argnames=("chunk", "max_iterations"))
+def batch_register(features: ScanFeatures, local_map: FeatureMap,
+                   init_poses, *, chunk: int = 4096,
+                   max_iterations: int = 30) -> RegisterResult:
+    """vmap register_scan over a batch.
+
+    features: ScanFeatures with leading batch dim [B, ...];
+    local_map: shared map (no batch dim) or per-scan maps ([B, ...]);
+    init_poses: [B, 6].
+    """
+    map_axes = FeatureMap(
+        corner_xyz=0 if local_map.corner_xyz.ndim == 3 else None,
+        corner_mask=0 if local_map.corner_mask.ndim == 2 else None,
+        surf_xyz=0 if local_map.surf_xyz.ndim == 3 else None,
+        surf_mask=0 if local_map.surf_mask.ndim == 2 else None,
+    )
+    fn = jax.vmap(
+        lambda f, m, p: register_scan(
+            f, m, p, chunk=chunk, max_iterations=max_iterations),
+        in_axes=(0, map_axes, 0),
+    )
+    return fn(features, local_map, init_poses)
+
+
+def shard_register(mesh: Mesh, features: ScanFeatures, local_map: FeatureMap,
+                   init_poses, *, chunk: int = 4096,
+                   max_iterations: int = 30, axis_name: str = "data"):
+    """shard_map batched registration over a device mesh.
+
+    The batch dim is sharded over `axis_name`; the local map is replicated
+    (it rides ICI once at launch, then every device streams its own copy
+    from HBM).  Returns (RegisterResult [B,...], stats dict with globally
+    psum-reduced convergence counters).
+    """
+    batched = FeatureMap(*(jnp.asarray(a) for a in local_map))
+
+    def local_fn(f, m, p):
+        res = batch_register(f, m, p, chunk=chunk,
+                             max_iterations=max_iterations)
+        n_conv = jax.lax.psum(jnp.sum(res.converged.astype(jnp.int32)),
+                              axis_name)
+        n_total = jax.lax.psum(res.converged.shape[0], axis_name)
+        mean_iters = jax.lax.pmean(jnp.mean(res.iterations.astype(jnp.float32)),
+                                   axis_name)
+        return res, {"n_converged": n_conv, "n_total": n_total,
+                     "mean_iterations": mean_iters}
+
+    spec_feats = ScanFeatures(P(axis_name), P(axis_name),
+                              P(axis_name), P(axis_name))
+    spec_map = FeatureMap(P(), P(), P(), P())
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(spec_feats, spec_map, P(axis_name)),
+        out_specs=(
+            RegisterResult(P(axis_name), P(axis_name), P(axis_name),
+                           P(axis_name), P(axis_name), P(axis_name)),
+            {"n_converged": P(), "n_total": P(), "mean_iterations": P()},
+        ),
+    )
+    return jax.jit(fn)(features, batched, init_poses)

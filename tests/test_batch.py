@@ -1,0 +1,74 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from feature_base_pointcloud_registration_tpu.config import Params
+from feature_base_pointcloud_registration_tpu.io.synthetic import (
+    SyntheticWorld, simulate_scan, build_feature_map)
+from feature_base_pointcloud_registration_tpu.ops.projection import project_scan
+from feature_base_pointcloud_registration_tpu.ops.features import extract_features
+from feature_base_pointcloud_registration_tpu.parallel.batch import (
+    batch_register, make_mesh, shard_register)
+from feature_base_pointcloud_registration_tpu.pipeline.cloud_info import (
+    FeatureMap, RawScan, ScanFeatures)
+from feature_base_pointcloud_registration_tpu.pipeline.frontend import (
+    downsample_features)
+
+PARAMS = Params(map_corner_cap=8192, map_surf_cap=65536, knn_chunk=2048)
+
+
+def _make_batch(B=8):
+    world = SyntheticWorld()
+    rng = np.random.RandomState(0)
+    feats_list, gt, guesses = [], [], []
+    for b in range(B):
+        pose = np.array([0, 0, rng.uniform(-1, 1),
+                         rng.uniform(-5, 5), rng.uniform(-5, 5), 0.0],
+                        np.float32)
+        s = simulate_scan(world, pose, seed=b)
+        raw = RawScan.from_numpy(s["xyz"], s["intensity"], s["ring"], s["time"])
+        raw = raw._replace(valid=jnp.asarray(s["valid"]))
+        cloud = project_scan(PARAMS, raw, None)
+        feats = downsample_features(PARAMS, extract_features(PARAMS, cloud))
+        feats_list.append(feats)
+        gt.append(pose)
+        guesses.append(pose + rng.uniform(-1, 1, 6).astype(np.float32)
+                       * np.array([0.02, 0.02, 0.04, 0.3, 0.3, 0.1]))
+    feats = jax.tree.map(lambda *a: jnp.stack(a), *feats_list)
+    mcx, mcm, msx, msm = build_feature_map(
+        world, PARAMS.map_corner_cap, PARAMS.map_surf_cap)
+    fmap = FeatureMap(jnp.asarray(mcx), jnp.asarray(mcm),
+                      jnp.asarray(msx), jnp.asarray(msm))
+    return feats, fmap, np.stack(gt), jnp.asarray(np.stack(guesses))
+
+
+def test_batch_register_vmap():
+    feats, fmap, gt, guesses = _make_batch(4)
+    res = batch_register(feats, fmap, guesses, chunk=PARAMS.knn_chunk)
+    poses = np.array(res.pose6)
+    err_t = np.linalg.norm(poses[:, 3:] - gt[:, 3:], axis=1)
+    assert (err_t < 0.05).all(), err_t
+    assert np.array(res.valid).all()
+
+
+def test_shard_register_8_devices():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
+    mesh = make_mesh(jax.devices()[:8])
+    feats, fmap, gt, guesses = _make_batch(8)
+    res, stats = shard_register(mesh, feats, fmap, guesses,
+                                chunk=PARAMS.knn_chunk)
+    poses = np.array(res.pose6)
+    err_t = np.linalg.norm(poses[:, 3:] - gt[:, 3:], axis=1)
+    assert (err_t < 0.05).all(), err_t
+    assert int(stats["n_total"]) == 8
+    assert int(stats["n_converged"]) >= 6
+
+
+def test_shard_matches_vmap():
+    mesh = make_mesh(jax.devices()[:8])
+    feats, fmap, gt, guesses = _make_batch(8)
+    res_v = batch_register(feats, fmap, guesses, chunk=PARAMS.knn_chunk)
+    res_s, _ = shard_register(mesh, feats, fmap, guesses,
+                              chunk=PARAMS.knn_chunk)
+    np.testing.assert_allclose(np.array(res_v.pose6), np.array(res_s.pose6),
+                               atol=1e-5)

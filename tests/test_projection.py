@@ -1,0 +1,84 @@
+import numpy as np
+import jax.numpy as jnp
+
+from feature_base_pointcloud_registration_tpu.config import Params
+from feature_base_pointcloud_registration_tpu.io.synthetic import (
+    SyntheticWorld, simulate_scan)
+from feature_base_pointcloud_registration_tpu.ops.projection import project_scan
+from feature_base_pointcloud_registration_tpu.pipeline.cloud_info import (
+    DeskewInfo, RawScan)
+import oracle
+
+PARAMS = Params()
+
+
+def _scan():
+    world = SyntheticWorld()
+    return simulate_scan(world, [0.02, -0.01, 0.3, 1.0, 2.0, 0.0], seed=3)
+
+
+def test_projection_matches_oracle():
+    s = _scan()
+    raw = RawScan.from_numpy(s["xyz"], s["intensity"], s["ring"], s["time"])
+    raw = raw._replace(valid=jnp.asarray(s["valid"]))
+    out = project_scan(PARAMS, raw, None)
+
+    ref = oracle.project_scan(s["xyz"], s["ring"], s["time"], s["valid"])
+
+    n = len(ref["point_range"])
+    assert int(out.num_points) == n
+    np.testing.assert_array_equal(
+        np.array(out.start_ring_index), ref["start_ring_index"])
+    np.testing.assert_array_equal(
+        np.array(out.end_ring_index), ref["end_ring_index"])
+    np.testing.assert_array_equal(
+        np.array(out.point_col_ind)[:n], ref["point_col_ind"])
+    np.testing.assert_allclose(
+        np.array(out.point_range)[:n], ref["point_range"], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.array(out.points)[:n], ref["points"], atol=1e-6)
+    assert not np.array(out.point_valid)[n:].any()
+
+
+def test_projection_deskew_matches_oracle():
+    s = _scan()
+    # synthetic gyro table: spin during the 0.1 s sweep
+    q = PARAMS.imu_queue_len
+    n_imu = 40
+    t = np.linspace(-0.005, 0.105, n_imu)
+    rates = np.array([0.05, -0.08, 0.6])
+    rot = np.outer(t - t[0], rates)
+    imu_time = np.full(q, np.inf, np.float32)
+    imu_time[:n_imu] = t
+    imu_rot = np.zeros((q, 3), np.float32)
+    imu_rot[:n_imu] = rot
+
+    dsk = DeskewInfo.empty(q)._replace(
+        imu_time=jnp.asarray(imu_time),
+        imu_rot=jnp.asarray(imu_rot),
+        imu_count=jnp.asarray(n_imu - 1, jnp.int32),
+        imu_available=jnp.asarray(True),
+    )
+    raw = RawScan.from_numpy(s["xyz"], s["intensity"], s["ring"], s["time"])
+    raw = raw._replace(valid=jnp.asarray(s["valid"]))
+    out = project_scan(PARAMS, raw, dsk, enable_deskew=True)
+
+    f = oracle.find_rotation_factory(t, rot)
+    ref = oracle.project_scan(s["xyz"], s["ring"], s["time"], s["valid"],
+                              deskew=f)
+    n = len(ref["point_range"])
+    assert int(out.num_points) == n
+    np.testing.assert_allclose(
+        np.array(out.points)[:n], ref["points"], atol=2e-5)
+
+
+def test_projection_first_write_wins():
+    # two points landing in the same cell: earlier input index must win
+    xyz = np.array([[5.0, 0.0, 0.0], [6.0, 0.001, 0.0]], np.float32)
+    ring = np.zeros(2, np.int32)
+    time = np.zeros(2, np.float32)
+    raw = RawScan.from_numpy(xyz, np.zeros(2, np.float32), ring, time,
+                             max_points=8)
+    out = project_scan(PARAMS, raw, None)
+    assert int(out.num_points) == 1
+    np.testing.assert_allclose(np.array(out.points)[0], xyz[0], atol=1e-6)
