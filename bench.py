@@ -34,7 +34,7 @@ def main():
     from feature_base_pointcloud_registration_tpu.ops.projection import (
         project_scan)
     from feature_base_pointcloud_registration_tpu.parallel.batch import (
-        batch_register)
+        batch_register_fast)
     from feature_base_pointcloud_registration_tpu.pipeline.cloud_info import (
         FeatureMap, RawScan)
     from feature_base_pointcloud_registration_tpu.pipeline.frontend import (
@@ -76,12 +76,12 @@ def main():
     guesses_j = jnp.asarray(guesses)
 
     # warmup/compile
-    res = batch_register(feats, fmap, guesses_j, chunk=params.knn_chunk)
+    res = batch_register_fast(feats, fmap, guesses_j, chunk=params.knn_chunk)
     res.pose6.block_until_ready()
 
     t0 = time.perf_counter()
     for _ in range(REPS):
-        res = batch_register(feats, fmap, guesses_j, chunk=params.knn_chunk)
+        res = batch_register_fast(feats, fmap, guesses_j, chunk=params.knn_chunk)
     res.pose6.block_until_ready()
     dt = time.perf_counter() - t0
 

@@ -218,3 +218,30 @@ def failure_detection(vel, bias_acc, bias_gyr,
     return ((jnp.linalg.norm(vel) > vel_limit)
             | (jnp.linalg.norm(bias_acc) > bias_limit)
             | (jnp.linalg.norm(bias_gyr) > bias_limit))
+
+
+@jax.jit
+def propagate_states(nav: NavState, bias_acc, bias_gyr, acc, gyr, dt, mask,
+                     gravity=9.80511):
+    """NavState at every IMU sample time (the imuHandler prediction stream,
+    ref: src/imuPreintegration.cpp:440-446 per sample).
+
+    acc, gyr: [N,3]; dt: [N]; mask: [N].  Returns NavState with leading [N].
+    """
+    g = jnp.asarray([0.0, 0.0, -gravity], jnp.float32)
+    a_c = acc - bias_acc
+    w_c = gyr - bias_gyr
+
+    def body(nav, xs):
+        a, w, d, m = xs
+        dR = so3_exp(w * d)
+        R_new = jnp.matmul(nav.R, dR, precision=_PREC)
+        acc_w = jnp.matmul(nav.R, a, precision=_PREC) + g
+        p_new = nav.p + nav.v * d + 0.5 * acc_w * d * d
+        v_new = nav.v + acc_w * d
+        new = NavState(R=R_new, p=p_new, v=v_new)
+        out = jax.tree.map(lambda n, o: jnp.where(m, n, o), new, nav)
+        return out, out
+
+    _, states = lax.scan(body, nav, (a_c, w_c, dt, mask))
+    return states

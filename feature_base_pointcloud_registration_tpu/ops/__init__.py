@@ -3,7 +3,7 @@ from .voxel import voxel_downsample
 from .features import extract_features
 from .knn import knn5
 from .cropbox import crop_box
-from .register import register_scan, RegisterResult
+from .register import register_scan, register_scan_fast, RegisterResult
 
 __all__ = [
     "project_scan",
@@ -13,5 +13,6 @@ __all__ = [
     "knn5",
     "crop_box",
     "register_scan",
+    "register_scan_fast",
     "RegisterResult",
 ]

@@ -23,6 +23,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .eig3 import eigvals_sym3, principal_eigvec_sym3, solve3
+
 _PREC = jax.lax.Precision.HIGHEST
 
 
@@ -40,11 +42,11 @@ def corner_correspondence(pts_world, valid, knn_fn):
     c = jnp.mean(nn, axis=1)                            # [N,3]
     dev = nn - c[:, None, :]
     cov = jnp.einsum("nki,nkj->nij", dev, dev, precision=_PREC) / 5.0    # [N,3,3]
-    # eigh: ascending eigenvalues; reference (cv::eigen) is descending with
-    # row eigenvectors — same spectrum (ref :1060-1063).
-    w, V = jnp.linalg.eigh(cov)
+    # closed-form symmetric 3x3 spectrum (ascending); reference (cv::eigen)
+    # is descending with row eigenvectors — same spectrum (ref :1060-1063).
+    w = eigvals_sym3(cov)
     lam_max, lam_mid = w[:, 2], w[:, 1]
-    v = V[:, :, 2]                                      # principal direction
+    v = principal_eigvec_sym3(cov, lam_max)             # principal direction
     gate_line = lam_max > 3.0 * lam_mid
 
     p0 = pts_world
@@ -89,13 +91,10 @@ def surf_correspondence(pts_world, valid, knn_fn):
     d2, nn = knn_fn(pts_world)                          # [N,5], [N,5,3]
     gate_nn = valid & (d2[:, 4] < 1.0)
 
-    G = jnp.einsum("nki,nkj->nij", nn, nn, precision=_PREC)              # [N,3,3] = A^T A
+    G = jnp.einsum("nki,nkj->nij", nn, nn, precision=_PREC)  # [N,3,3] = A^T A
     b = -jnp.sum(nn, axis=1)                            # A^T(-1)
-    det = jnp.linalg.det(G)
+    n, det = solve3(G, b)                               # Cramer, pure VPU
     ok_det = jnp.abs(det) > 1e-10
-    G_safe = jnp.where(ok_det[:, None, None], G,
-                       jnp.broadcast_to(jnp.eye(3, dtype=G.dtype), G.shape))
-    n = jnp.linalg.solve(G_safe, b[..., None])[..., 0]  # [N,3]
 
     ps = jnp.sqrt(jnp.sum(n * n, axis=-1))
     ps_safe = jnp.where(ps > 1e-12, ps, 1.0)

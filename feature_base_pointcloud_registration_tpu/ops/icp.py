@@ -1,0 +1,81 @@
+"""Point-to-point ICP — the loop-closure aligner.
+
+Replaces pcl::IterativeClosestPoint as configured by the reference
+(ref: src/mapOptmization.h:689-711): max correspondence distance 100 m,
+<=100 iterations, transformation epsilon 1e-6, fitness = mean squared
+distance of matched points (accept < 0.3, ref :715).
+
+Each iteration: masked 1-NN of the (transformed) source in the target via
+the streamed MXU distance kernel, then a weighted Kabsch/SVD update —
+a lax.while_loop, fully jittable and vmap-able over candidate loop pairs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..geom.se3 import kabsch
+from .knn import knn
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class ICPResult(NamedTuple):
+    transform: jnp.ndarray   # f32 [4,4] source -> target
+    fitness: jnp.ndarray     # f32 [] mean squared matched distance
+    converged: jnp.ndarray   # bool []
+    iterations: jnp.ndarray  # i32 []
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "chunk"))
+def icp_align(src, src_mask, dst, dst_mask, *,
+              max_corr_dist: float = 100.0,
+              max_iterations: int = 100,
+              transformation_epsilon: float = 1e-6,
+              chunk: int = 2048) -> ICPResult:
+    """Align src onto dst; returns the final transform + fitness score."""
+    N = src.shape[0]
+    max_d2 = jnp.float32(max_corr_dist ** 2)
+
+    def one_nn(pts):
+        d2, idx = knn(pts, dst, dst_mask, k=1, chunk=chunk)
+        return d2[:, 0], dst[idx[:, 0]]
+
+    def body(carry):
+        it, T, prev_T, _, _ = carry
+        src_t = jnp.einsum("ij,nj->ni", T[:3, :3], src, precision=_PREC) \
+            + T[:3, 3]
+        d2, nn_pts = one_nn(src_t)
+        match = src_mask & (d2 < max_d2)
+        w = match.astype(jnp.float32)
+        # weighted Kabsch between ORIGINAL source and matched targets
+        T_new = kabsch(src, nn_pts, weights=w)
+        delta = jnp.max(jnp.abs(T_new - T))
+        fitness = jnp.sum(d2 * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return (it + 1, T_new, T, delta, fitness)
+
+    def cond(carry):
+        it, _, _, delta, _ = carry
+        return (it < max_iterations) & (delta > transformation_epsilon)
+
+    T0 = jnp.eye(4, dtype=jnp.float32) + 0.0 * src.sum()
+    it, T, _, delta, fitness = lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32) + (0 * src.sum()).astype(jnp.int32),
+         T0, T0, jnp.float32(1e9) + 0.0 * src.sum(),
+         jnp.float32(0.0) + 0.0 * src.sum()))
+
+    # final fitness at the final transform
+    src_t = jnp.einsum("ij,nj->ni", T[:3, :3], src, precision=_PREC) + T[:3, 3]
+    d2, _ = one_nn(src_t)
+    match = src_mask & (d2 < max_d2)
+    w = match.astype(jnp.float32)
+    fitness = jnp.sum(d2 * w) / jnp.maximum(jnp.sum(w), 1.0)
+    converged = delta <= transformation_epsilon
+    return ICPResult(transform=T, fitness=fitness, converged=converged,
+                     iterations=it)

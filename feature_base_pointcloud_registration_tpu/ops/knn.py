@@ -1,4 +1,4 @@
-"""Batched 5-nearest-neighbor search: the KD-tree replacement.
+"""Batched k-nearest-neighbor search: the KD-tree replacement.
 
 The reference builds FLANN KD-trees over the local map each scan and runs
 serial 5-NN queries inside OpenMP loops (ref: src/mapOptmization.h:1020,1143,
@@ -7,12 +7,16 @@ instead the map is streamed through the MXU in chunks:
 
     d2(q, m) = |q|^2 + |m|^2 - 2 q . m^T      (one [Q, C] matmul per chunk)
 
-with a running top-5 merge across chunks (lax.scan), so HBM holds only the
-padded map and one [Q, C+5] merge buffer — the moral equivalent of blockwise
-attention's online reduction (SURVEY.md §5 "long-context" note).
+with a running top-k merge across chunks (lax.scan), so HBM holds only the
+padded map and one [Q, C] distance buffer — the moral equivalent of
+blockwise attention's online reduction (SURVEY.md §5 "long-context" note).
+
+Top-k is k iterative min-extractions (argmin + scatter), not lax.top_k: a
+full per-row sort of [Q, C] is orders of magnitude more expensive on the VPU
+than k reduction passes for k = 5.
 
 Returned distances are exact squared distances; padded/masked map points get
-+inf and can never enter the top-5 (their indices are still in range).
++inf and can never enter the top-k (their indices are still in range).
 """
 
 from __future__ import annotations
@@ -24,6 +28,29 @@ import jax.numpy as jnp
 from jax import lax
 
 _BIG = jnp.float32(3.0e38)
+
+
+def _extract_topk(d2, k: int):
+    """Exact smallest-k per row via k argmin passes.  d2: [Q, C]."""
+    Q = d2.shape[0]
+    rows = jnp.arange(Q)
+    vals, idxs = [], []
+    d = d2
+    for _ in range(k):
+        i = jnp.argmin(d, axis=1)
+        v = d[rows, i]
+        vals.append(v)
+        idxs.append(i)
+        d = d.at[rows, i].set(_BIG)
+    return jnp.stack(vals, 1), jnp.stack(idxs, 1).astype(jnp.int32)
+
+
+def _chunk_d2(query, q_norm, pts, msk):
+    r_norm = jnp.sum(pts * pts, axis=-1)
+    cross = jnp.dot(query, pts.T, precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    d2 = q_norm + r_norm[None, :] - 2.0 * cross
+    return jnp.where(msk[None, :], jnp.maximum(d2, 0.0), _BIG)
 
 
 @partial(jax.jit, static_argnames=("k", "chunk"))
@@ -46,6 +73,11 @@ def knn(query, ref, ref_mask, k: int = 5, chunk: int = 4096):
     ref = ref - center
 
     q_norm = jnp.sum(query * query, axis=-1, keepdims=True)  # [Q,1]
+
+    if n_chunks == 1:
+        d2 = _chunk_d2(query, q_norm, ref, ref_mask)
+        return _extract_topk(d2, k)
+
     ref_c = ref.reshape(n_chunks, chunk, 3)
     mask_c = ref_mask.reshape(n_chunks, chunk)
 
@@ -59,17 +91,14 @@ def knn(query, ref, ref_mask, k: int = 5, chunk: int = 4096):
     def body(carry, xs):
         best_d, best_i = carry
         pts, msk, base = xs
-        r_norm = jnp.sum(pts * pts, axis=-1)  # [C]
-        cross = jnp.dot(query, pts.T, precision=lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-        d2 = q_norm + r_norm[None, :] - 2.0 * cross  # [Q, C]
-        d2 = jnp.where(msk[None, :], jnp.maximum(d2, 0.0), _BIG)
-        idx = base + jnp.arange(chunk, dtype=jnp.int32)
-        cand_d = jnp.concatenate([best_d, d2], axis=1)
-        cand_i = jnp.concatenate([best_i, jnp.broadcast_to(idx, (Q, chunk))], axis=1)
-        neg_top, top_pos = lax.top_k(-cand_d, k)
-        best_d = -neg_top
-        best_i = jnp.take_along_axis(cand_i, top_pos, axis=1)
+        d2 = _chunk_d2(query, q_norm, pts, msk)
+        cd, ci = _extract_topk(d2, k)
+        ci = ci + base
+        # merge running best with this chunk's top-k (2k columns: trivial)
+        cand_d = jnp.concatenate([best_d, cd], axis=1)
+        cand_i = jnp.concatenate([best_i, ci], axis=1)
+        best_d, pos = _extract_topk(cand_d, k)
+        best_i = jnp.take_along_axis(cand_i, pos, axis=1)
         return (best_d, best_i), None
 
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk

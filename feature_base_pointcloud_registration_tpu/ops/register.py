@@ -25,7 +25,7 @@ from ..config import Params
 from ..geom.se3 import euler_to_rot, quat_from_euler, quat_slerp, euler_from_quat
 from ..pipeline.cloud_info import FeatureMap, ScanFeatures
 from .correspondence import corner_correspondence, surf_correspondence
-from .knn import make_local_knn
+from .knn import _extract_topk, knn, make_local_knn
 from .solver import GNState, gn_step
 
 
@@ -221,3 +221,139 @@ def register_scan_with_params(params: Params, features: ScanFeatures,
         pose = jnp.where(res.valid, pose, res.pose6)
         res = res._replace(pose6=pose)
     return res
+
+
+def prefetch_candidates(query_w, ref, ref_mask, K: int, chunk: int):
+    """One streamed pass over the map: K nearest candidates per query.
+
+    The GN loop then searches 5-NN *within* these candidates instead of
+    re-streaming the whole map every iteration (the reference rebuilds no
+    KD-tree mid-solve either — the map is fixed; only the query pose moves,
+    and it moves by centimeters per iteration).
+    """
+    d2, idx = knn(query_w, ref, ref_mask, k=K, chunk=chunk)
+    cand = ref[idx]                       # [Q,K,3]
+    valid = d2 < 1e37
+    return cand, valid
+
+
+def make_candidate_knn(cand_xyz, cand_valid):
+    """knn closure over a per-query candidate set [Q,K,3]."""
+
+    def f(q):
+        diff = q[:, None, :] - cand_xyz
+        d2 = jnp.sum(diff * diff, -1)
+        d2 = jnp.where(cand_valid, d2, jnp.float32(3e38))
+        vals, pos = _extract_topk(d2, 5)
+        nn = jnp.take_along_axis(cand_xyz, pos[..., None], axis=1)
+        return vals, nn
+
+    return f
+
+
+@partial(jax.jit, static_argnames=(
+    "max_iterations", "min_correspondences", "eigen_threshold",
+    "edge_min_valid", "surf_min_valid", "chunk", "num_candidates",
+    "converge_rot_deg", "converge_trans_cm", "refetch_dist"))
+def register_scan_fast(
+    features: ScanFeatures,
+    local_map: FeatureMap,
+    init_pose6,
+    *,
+    max_iterations: int = 30,
+    min_correspondences: int = 50,
+    eigen_threshold: float = 100.0,
+    edge_min_valid: int = 10,
+    surf_min_valid: int = 100,
+    chunk: int = 4096,
+    num_candidates: int = 16,
+    refetch_dist: float = 0.15,
+    converge_rot_deg: float = 0.05,
+    converge_trans_cm: float = 0.05,
+) -> RegisterResult:
+    """Candidate-prefetch scan-to-map solve (the production hot path).
+
+    Identical math to register_scan except neighbor search: the K nearest
+    map candidates per feature are fetched once at the initial pose (and
+    re-fetched if the solve travels more than `refetch_dist` meters from the
+    fetch pose), and each GN iteration takes its 5-NN from those candidates.
+    Exact whenever the true 5-NN stays within the K-candidate neighborhood —
+    validated against register_scan in tests (equal poses to ~1e-4).
+    """
+    n_edge = jnp.sum(features.corner_mask).astype(jnp.int32)
+    n_surf = jnp.sum(features.surf_mask).astype(jnp.int32)
+    gate = (n_edge > edge_min_valid) & (n_surf > surf_min_valid)
+
+    pose0 = jnp.asarray(init_pose6, jnp.float32)
+    vary = pose0.sum() * 0.0
+    K = num_candidates
+
+    def fetch(pose):
+        R = euler_to_rot(pose[0], pose[1], pose[2])
+        t = pose[3:6]
+        prec = jax.lax.Precision.HIGHEST
+        corner_w = jnp.dot(features.corner_xyz, R.T, precision=prec) + t
+        surf_w = jnp.dot(features.surf_xyz, R.T, precision=prec) + t
+        cc, ccv = prefetch_candidates(corner_w, local_map.corner_xyz,
+                                      local_map.corner_mask, K, chunk)
+        sc, scv = prefetch_candidates(surf_w, local_map.surf_xyz,
+                                      local_map.surf_mask, K, chunk)
+        return cc, ccv, sc, scv, pose[3:6]
+
+    cands0 = fetch(pose0)
+
+    init = GNState(
+        pose6=pose0,
+        matP=jnp.eye(6, dtype=jnp.float32) + vary,
+        is_degenerate=vary > 1.0,
+        converged=vary > 1.0,
+        n_corr=vary.astype(jnp.int32),
+    )
+    it0 = jnp.asarray(0, jnp.int32) + vary.astype(jnp.int32)
+
+    def cond_fn(carry):
+        it, state, _ = carry
+        return (it < max_iterations) & ~state.converged & gate
+
+    def body(carry):
+        it, state, cands = carry
+        pose = state.pose6
+        moved = jnp.linalg.norm(pose[3:6] - cands[4]) > refetch_dist
+        cands = lax.cond(moved, lambda: fetch(pose), lambda: cands)
+        cc, ccv, sc, scv, _ = cands
+
+        R = euler_to_rot(pose[0], pose[1], pose[2])
+        t = pose[3:6]
+        prec = jax.lax.Precision.HIGHEST
+        corner_w = jnp.dot(features.corner_xyz, R.T, precision=prec) + t
+        surf_w = jnp.dot(features.surf_xyz, R.T, precision=prec) + t
+
+        c_coeff, c_resid, c_mask = corner_correspondence(
+            corner_w, features.corner_mask, make_candidate_knn(cc, ccv))
+        s_coeff, s_resid, s_mask = surf_correspondence(
+            surf_w, features.surf_mask, make_candidate_knn(sc, scv))
+
+        pts = jnp.concatenate([features.corner_xyz, features.surf_xyz], axis=0)
+        coeff = jnp.concatenate([c_coeff, s_coeff], axis=0)
+        resid = jnp.concatenate([c_resid, s_resid], axis=0)
+        mask = jnp.concatenate([c_mask, s_mask], axis=0)
+
+        state = gn_step(
+            state, pts, coeff, resid, mask, it,
+            min_correspondences=min_correspondences,
+            eigen_threshold=eigen_threshold,
+            converge_rot_deg=converge_rot_deg,
+            converge_trans_cm=converge_trans_cm,
+        )
+        return (it + 1, state, cands)
+
+    it, state, _ = lax.while_loop(cond_fn, body, (it0, init, cands0))
+
+    return RegisterResult(
+        pose6=state.pose6,
+        converged=state.converged,
+        iterations=it,
+        n_corr=state.n_corr,
+        is_degenerate=state.is_degenerate,
+        valid=gate,
+    )

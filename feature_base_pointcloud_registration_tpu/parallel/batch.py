@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.register import RegisterResult, register_scan
+from ..ops.register import RegisterResult, register_scan, register_scan_fast
 from ..pipeline.cloud_info import FeatureMap, ScanFeatures
 
 
@@ -95,3 +95,24 @@ def shard_register(mesh: Mesh, features: ScanFeatures, local_map: FeatureMap,
         ),
     )
     return jax.jit(fn)(features, batched, init_poses)
+
+
+@partial(jax.jit, static_argnames=("chunk", "max_iterations", "num_candidates"))
+def batch_register_fast(features: ScanFeatures, local_map: FeatureMap,
+                        init_poses, *, chunk: int = 4096,
+                        max_iterations: int = 30,
+                        num_candidates: int = 16) -> RegisterResult:
+    """vmap of the candidate-prefetch fast path (see register_scan_fast)."""
+    map_axes = FeatureMap(
+        corner_xyz=0 if local_map.corner_xyz.ndim == 3 else None,
+        corner_mask=0 if local_map.corner_mask.ndim == 2 else None,
+        surf_xyz=0 if local_map.surf_xyz.ndim == 3 else None,
+        surf_mask=0 if local_map.surf_mask.ndim == 2 else None,
+    )
+    fn = jax.vmap(
+        lambda f, m, p: register_scan_fast(
+            f, m, p, chunk=chunk, max_iterations=max_iterations,
+            num_candidates=num_candidates),
+        in_axes=(0, map_axes, 0),
+    )
+    return fn(features, local_map, init_poses)

@@ -1,0 +1,263 @@
+"""High-rate IMU odometry with factor-graph corrections.
+
+Functional rebuild of the IMUPreintegration node (ref:
+src/imuPreintegration.cpp:27-508): two preintegration streams — one feeding
+the optimizer, one re-propagated after every correction to publish IMU-rate
+odometry — plus the reset-id protocol and failure detection:
+
+  imuHandler          (ref :413-507) -> handle_imu / flush_imu_odometry
+  odometryHandler     (ref :144-390) -> handle_odometry
+  key==100 window reset carrying marginal priors (ref :234-267)
+      -> _reset_window (priors re-primed from the last optimized state)
+  failureDetection    (ref :392-411) -> imu.failure_detection
+  reset-id protocol   (ref :161-172) -> reset_id checks
+
+The iSAM2 chain is graph/imu_graph's windowed LM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Params
+from ..geom.se3 import euler_to_rot, rot_to_euler
+from ..graph.imu_graph import STATE_DIM, ImuChainData, optimize_imu_chain
+from ..imu.preintegration import (NavState, PreintState, failure_detection,
+                                  predict, preintegrate, propagate_states)
+
+
+def _nav_to_state15(nav: NavState, ba, bg):
+    r, p, y = rot_to_euler(nav.R)
+    return jnp.concatenate([
+        jnp.stack([r, p, y]), nav.p, nav.v, ba, bg]).astype(jnp.float32)
+
+
+def _state15_to_nav(s):
+    R = euler_to_rot(s[0], s[1], s[2])
+    return NavState(R=R, p=s[3:6], v=s[6:9]), s[9:12], s[12:15]
+
+
+@dataclasses.dataclass
+class ImuOdometry:
+    """Host driver holding the two IMU queues and the chain window."""
+
+    params: Params
+    window: int = 32          # ref resets at key==100; smaller LM window
+    max_samples: int = 1024   # per-interval IMU sample cap
+
+    def __post_init__(self):
+        p = self.params
+        self.system_initialized = False
+        self.done_first_opt = False
+        self.key = 0
+        self.reset_id = 0
+        self.last_imu_t_imu = -1.0
+        self.last_imu_t_opt = -1.0
+        self.que_opt: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        self.que_imu: List[Tuple[float, np.ndarray, np.ndarray]] = []
+
+        self.prev_nav = NavState.identity()
+        self.prev_ba = jnp.zeros(3, jnp.float32)
+        self.prev_bg = jnp.zeros(3, jnp.float32)
+        self.prev_nav_odom = NavState.identity()
+        self.prev_ba_odom = jnp.zeros(3, jnp.float32)
+        self.prev_bg_odom = jnp.zeros(3, jnp.float32)
+
+        K = self.window
+        self.chain_states = np.zeros((K, STATE_DIM), np.float32)
+        self.chain_mask = np.zeros(K, bool)
+        self.chain_preint: List[Optional[PreintState]] = [None] * K
+        self.chain_pose_meas = np.zeros((K, 6), np.float32)
+        # priorPoseNoise / priorVelNoise / priorBiasNoise (ref :105-109)
+        self.prior_sigma0 = np.concatenate([
+            np.full(6, 1e-2), np.full(3, 1e4), np.full(6, 1e-3)
+        ]).astype(np.float32)
+        self.prior_sigma = self.prior_sigma0.copy()
+        self.lidar2imu = np.asarray(p.ext_trans, np.float32)
+
+    # ------------------------------------------------------------------ imu
+    def handle_imu(self, t: float, acc, gyr):
+        """Queue one (lidar-frame) IMU sample; returns a predicted lidar-frame
+        pose6 + velocity if the system has completed its first optimization
+        (imuHandler, ref :413-476), else None."""
+        acc = np.asarray(acc, np.float32)
+        gyr = np.asarray(gyr, np.float32)
+        self.que_opt.append((t, acc, gyr))
+        self.que_imu.append((t, acc, gyr))
+        if not self.done_first_opt:
+            return None
+        dt = (1.0 / 500.0) if self.last_imu_t_imu < 0 else t - self.last_imu_t_imu
+        self.last_imu_t_imu = t
+
+        states = propagate_states(
+            self.prev_nav_odom, self.prev_ba_odom, self.prev_bg_odom,
+            jnp.asarray(acc[None]), jnp.asarray(gyr[None]),
+            jnp.asarray([dt], jnp.float32), jnp.asarray([True]),
+            gravity=self.params.imu_gravity)
+        nav = jax.tree.map(lambda a: a[0], states)
+        self.prev_nav_odom = nav
+
+        # imu pose -> lidar pose via extrinsic translation (ref :457-458)
+        r, p_, y = rot_to_euler(nav.R)
+        t_l = np.array(nav.p) - np.array(nav.R) @ self.lidar2imu
+        pose6 = np.array([float(r), float(p_), float(y),
+                          t_l[0], t_l[1], t_l[2]], np.float32)
+        return pose6, np.array(nav.v)
+
+    # ------------------------------------------------------- lidar odometry
+    def handle_odometry(self, t: float, lidar_pose6, reset_id: int = 0):
+        """Fuse a lidar odometry correction (odometryHandler, ref :144-390)."""
+        p = self.params
+        if not self.que_opt:
+            return
+        if reset_id != self.reset_id:
+            self._reset_params()
+            self.reset_id = reset_id
+            return
+
+        pose6 = np.asarray(lidar_pose6, np.float32)
+        # lidarPose.compose(lidar2Imu) (ref :198,318)
+        R = np.array(euler_to_rot(*pose6[:3]))
+        p_imu = pose6[3:6] + R @ self.lidar2imu
+        nav_meas = np.concatenate([pose6[:3], p_imu])
+
+        if not self.system_initialized:
+            while self.que_opt and self.que_opt[0][0] < t:
+                self.last_imu_t_opt = self.que_opt[0][0]
+                self.que_opt.pop(0)
+            self.chain_states[:] = 0
+            self.chain_mask[:] = False
+            self.chain_preint = [None] * self.window
+            self.chain_states[0, :6] = nav_meas
+            self.chain_mask[0] = True
+            self.chain_pose_meas[0] = nav_meas
+            self.prev_nav, self.prev_ba, self.prev_bg = _state15_to_nav(
+                jnp.asarray(self.chain_states[0]))
+            self.prior_sigma = self.prior_sigma0.copy()
+            self.key = 1
+            self.system_initialized = True
+            return
+
+        if self.key >= self.window:
+            self._reset_window()
+
+        # integrate opt-queue samples in [last, t) (ref :271-294)
+        samples = []
+        while self.que_opt and self.que_opt[0][0] < t:
+            ti, acc, gyr = self.que_opt.pop(0)
+            dt = (1.0 / 500.0) if self.last_imu_t_opt < 0 else ti - self.last_imu_t_opt
+            samples.append((dt, acc, gyr))
+            self.last_imu_t_opt = ti
+        n = len(samples)
+        cap = self.max_samples
+        accs = np.zeros((cap, 3), np.float32)
+        gyrs = np.zeros((cap, 3), np.float32)
+        dts = np.zeros(cap, np.float32)
+        mask = np.zeros(cap, bool)
+        for i, (dt, a, g) in enumerate(samples[:cap]):
+            dts[i], accs[i], gyrs[i], mask[i] = dt, a, g, True
+
+        pre = preintegrate(
+            jnp.asarray(accs), jnp.asarray(gyrs), jnp.asarray(dts),
+            jnp.asarray(mask), self.prev_ba, self.prev_bg,
+            jnp.float32(p.imu_acc_noise ** 2), jnp.float32(p.imu_gyr_noise ** 2))
+
+        k = self.key
+        prop = predict(self.prev_nav, self.prev_ba, self.prev_bg, pre,
+                       gravity=p.imu_gravity)
+        self.chain_states[k] = np.array(_nav_to_state15(
+            prop, self.prev_ba, self.prev_bg))
+        self.chain_mask[k] = True
+        self.chain_preint[k] = jax.tree.map(np.asarray, pre)
+        self.chain_pose_meas[k] = nav_meas
+
+        states = self._optimize()
+        self.chain_states[: k + 1] = states[: k + 1]
+        self.prev_nav, self.prev_ba, self.prev_bg = _state15_to_nav(
+            jnp.asarray(self.chain_states[k]))
+
+        if bool(failure_detection(jnp.asarray(self.chain_states[k, 6:9]),
+                                  self.prev_ba, self.prev_bg)):
+            self._reset_params()
+            return
+
+        # re-propagate the odometry stream with the optimized bias (ref :351-386)
+        self.prev_nav_odom = self.prev_nav
+        self.prev_ba_odom = self.prev_ba
+        self.prev_bg_odom = self.prev_bg
+        last_q = -1.0
+        self.que_imu = [s for s in self.que_imu if s[0] >= t]
+        if self.que_imu:
+            n2 = len(self.que_imu)
+            accs = np.stack([s[1] for s in self.que_imu])
+            gyrs = np.stack([s[2] for s in self.que_imu])
+            ts = np.array([s[0] for s in self.que_imu])
+            dts = np.diff(np.concatenate([[t], ts])).astype(np.float32)
+            dts[0] = 1.0 / 500.0 if last_q < 0 else dts[0]
+            navs = propagate_states(
+                self.prev_nav_odom, self.prev_ba_odom, self.prev_bg_odom,
+                jnp.asarray(accs), jnp.asarray(gyrs), jnp.asarray(dts),
+                jnp.ones(n2, bool), gravity=p.imu_gravity)
+            self.prev_nav_odom = jax.tree.map(lambda a: a[-1], navs)
+            self.last_imu_t_imu = float(ts[-1])
+
+        self.key += 1
+        self.done_first_opt = True
+
+    def _optimize(self):
+        p = self.params
+        K = self.window
+        pres = []
+        zero = jax.tree.map(np.asarray, PreintState.zero())
+        for k in range(K):
+            pres.append(self.chain_preint[k] if self.chain_preint[k] is not None
+                        else zero)
+        preint = jax.tree.map(lambda *a: jnp.asarray(np.stack(a)), *pres)
+        preint_mask = np.array([self.chain_preint[k] is not None
+                                for k in range(K)])
+        pose_sigma = np.tile(np.full(6, 1e-2, np.float32), (K, 1))  # ref :111
+        data = ImuChainData(
+            states=jnp.asarray(self.chain_states),
+            state_mask=jnp.asarray(self.chain_mask),
+            preint=preint,
+            preint_mask=jnp.asarray(preint_mask),
+            pose_meas=jnp.asarray(self.chain_pose_meas),
+            pose_sigma=jnp.asarray(pose_sigma),
+            pose_meas_mask=jnp.asarray(self.chain_mask),
+            prior_state=jnp.asarray(self.chain_states[0]),
+            prior_sigma=jnp.asarray(self.prior_sigma),
+            bias_sigma=jnp.asarray(
+                [p.imu_acc_bias_n] * 3 + [p.imu_gyr_bias_n] * 3, jnp.float32),
+            gravity=jnp.float32(p.imu_gravity),
+        )
+        states, _ = optimize_imu_chain(data, iterations=4)
+        return np.array(states)
+
+    def _reset_window(self):
+        """key==100 graph reset carrying the last state as the new prior
+        (ref :234-267); LM-window equivalent: restart the chain at key 1."""
+        last_state = self.chain_states[self.key - 1].copy()
+        last_meas = self.chain_pose_meas[self.key - 1].copy()
+        self.chain_states[:] = 0
+        self.chain_mask[:] = False
+        self.chain_preint = [None] * self.window
+        self.chain_pose_meas[:] = 0
+        self.chain_states[0] = last_state
+        self.chain_mask[0] = True
+        self.chain_pose_meas[0] = last_meas
+        # tightened priors standing in for the carried marginals
+        self.prior_sigma = np.concatenate([
+            np.full(6, 1e-2), np.full(3, 1e-1), np.full(6, 1e-3)
+        ]).astype(np.float32)
+        self.key = 1
+
+    def _reset_params(self):
+        """resetParams (ref :136-141)."""
+        self.last_imu_t_imu = -1.0
+        self.done_first_opt = False
+        self.system_initialized = False

@@ -1,0 +1,454 @@
+"""Full SLAM back end: keyframes + factor graph + loop closure.
+
+Rebuild of the reference's *latent* path — mapOptimization's
+laserCloudInfoHandler (ref: src/mapOptmization.h:346-389) with its whole
+sub-tree:
+
+  updateInitialGuess            (ref :799-855)   -> _initial_guess
+  extractSurroundingKeyFrames   (ref :857-978)   -> _build_local_map (jitted)
+  downsampleCurrentScan         (ref :981-993)   -> frontend.downsample_features
+  scan2MapOptimization          (ref :1403-1489) -> ops.register
+  saveFrame / addOdomFactor / addGPSFactor / iSAM2 update
+                                (ref :1491-1733) -> graph.pose_graph LM window
+  correctPoses (+ reset-id bump)(ref :1735-1770) -> _correct_poses
+  loop closure thread           (ref :582-782)   -> maybe_close_loop (ICP)
+  PCD map save / reload         (ref :485-521, :245-260) -> save_map
+
+Host state (keyframe clouds, factor lists) mirrors the reference's members;
+all geometry runs in jitted fixed-shape kernels on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Params
+from ..geom.se3 import compose_pose6, inverse_matrix, matrix_to_pose6, pose6_to_matrix
+from ..graph.pose_graph import PoseGraphData, optimize_pose_graph
+from ..ops.icp import icp_align
+from ..ops.register import register_scan_fast, transform_update
+from ..ops.voxel import voxel_downsample
+from .cloud_info import DeskewInfo, FeatureMap, RawScan, ScanFeatures
+from .frontend import process_scan
+
+
+@partial(jax.jit, static_argnames=("map_corner_cap", "map_surf_cap"))
+def _build_local_map(kf_corner, kf_corner_mask, kf_surf, kf_surf_mask,
+                     kf_poses, select_mask, corner_leaf, surf_leaf,
+                     *, map_corner_cap, map_surf_cap):
+    """Transform selected keyframe clouds to world, merge, voxel-downsample.
+
+    extractCloud equivalent (ref: src/mapOptmization.h:909-955); the OpenMP
+    loop becomes one batched transform over [K, P, 3].
+    """
+    T = pose6_to_matrix(kf_poses)                      # [K,4,4]
+    prec = jax.lax.Precision.HIGHEST
+
+    def to_world(cl):
+        return jnp.einsum("kij,kpj->kpi", T[:, :3, :3], cl,
+                          precision=prec) + T[:, None, :3, 3]
+
+    cw = to_world(kf_corner)
+    sw = to_world(kf_surf)
+    cm = kf_corner_mask & select_mask[:, None]
+    sm = kf_surf_mask & select_mask[:, None]
+
+    K, Pc, _ = cw.shape
+    _, Ps, _ = sw.shape
+    cx, cmask, _ = voxel_downsample(cw.reshape(K * Pc, 3),
+                                    cm.reshape(K * Pc), corner_leaf,
+                                    map_corner_cap)
+    sx, smask, _ = voxel_downsample(sw.reshape(K * Ps, 3),
+                                    sm.reshape(K * Ps), surf_leaf,
+                                    map_surf_cap)
+    return FeatureMap(cx, cmask, sx, smask)
+
+
+@dataclasses.dataclass
+class SlamPipeline:
+    """Sequential SLAM driver (odometry + mapping + optional loop closure)."""
+
+    params: Params
+    max_keyframes: int = 512
+    kf_corner_cap: int = 1024
+    kf_surf_cap: int = 4096
+    loop_submap_cap: int = 16384
+
+    def __post_init__(self):
+        p = self.params
+        K = self.max_keyframes
+        self.kf_corner = np.zeros((K, self.kf_corner_cap, 3), np.float32)
+        self.kf_corner_mask = np.zeros((K, self.kf_corner_cap), bool)
+        self.kf_surf = np.zeros((K, self.kf_surf_cap, 3), np.float32)
+        self.kf_surf_mask = np.zeros((K, self.kf_surf_cap), bool)
+        self.kf_poses = np.zeros((K, 6), np.float32)   # cloudKeyPoses6D
+        self.kf_times = np.zeros(K, np.float64)
+        self.n_keyframes = 0
+
+        # factor lists (host; converted to PoseGraphData on optimize)
+        self.btw_factors: List[tuple] = []   # (i, j, meas6, sigma6)
+        self.gps_factors: List[tuple] = []   # (i, xyz, sigma3)
+        self.prior_factor = None
+        self.gps_queue: List[tuple] = []     # (time, xyz, cov3)
+        self.last_gps_point = np.zeros(3)
+
+        self.pose = np.zeros(6, np.float32)  # transformTobeMapped
+        self.time_last_processing = -1.0
+        self.last_imu_transform: Optional[np.ndarray] = None
+        self.reset_id = 0                    # imuPreintegrationResetId
+        self.a_loop_is_closed = False
+        self.trajectory: List[np.ndarray] = []
+
+    # ------------------------------------------------------------- guesses
+    def _initial_guess(self, cloud_imu_rpy, imu_available, odom_available,
+                       odom_guess, odom_reset_id):
+        """updateInitialGuess (ref: src/mapOptmization.h:799-855)."""
+        p = self.params
+        if self.n_keyframes == 0:
+            rpy = np.asarray(cloud_imu_rpy, np.float32)
+            guess = np.zeros(6, np.float32)
+            guess[:3] = rpy
+            if not p.use_imu_heading_initialization:
+                guess[2] = 0.0
+            self.last_imu_transform = rpy.copy()
+            self.pose = guess
+            return guess
+        if odom_available and odom_reset_id == self.reset_id:
+            self.last_imu_transform = np.asarray(cloud_imu_rpy, np.float32)
+            self.pose = np.asarray(odom_guess, np.float32)
+            return self.pose
+        if imu_available and self.last_imu_transform is not None:
+            rpy = np.asarray(cloud_imu_rpy, np.float32)
+            incre = np.array(compose_pose6(
+                jnp.asarray(np.concatenate([
+                    -self.last_imu_transform[::-1] * 0, np.zeros(3)]).astype(np.float32)),
+                jnp.zeros(6, jnp.float32)))
+            # transIncre = lastImu^-1 * thisImu (rotation only)
+            last = np.concatenate([self.last_imu_transform, np.zeros(3)]).astype(np.float32)
+            this = np.concatenate([rpy, np.zeros(3)]).astype(np.float32)
+            T_incre = np.array(
+                inverse_matrix(pose6_to_matrix(jnp.asarray(last)))
+                @ pose6_to_matrix(jnp.asarray(this)))
+            T_new = np.array(pose6_to_matrix(jnp.asarray(self.pose))) @ T_incre
+            self.pose = np.array(matrix_to_pose6(jnp.asarray(T_new)))
+            self.last_imu_transform = rpy.copy()
+        return self.pose
+
+    # ------------------------------------------------------------ local map
+    def _surrounding_map(self) -> Optional[FeatureMap]:
+        """extractSurroundingKeyFrames (ref :857-978): keyframes within the
+        search radius of the last pose + all from the most recent 10 s."""
+        p = self.params
+        n = self.n_keyframes
+        if n == 0:
+            return None
+        sel = np.zeros(self.max_keyframes, bool)
+        last_pos = self.kf_poses[n - 1, 3:]
+        d = np.linalg.norm(self.kf_poses[:n, 3:] - last_pos, axis=1)
+        sel[:n] = d < p.surrounding_keyframe_search_radius
+        recent = self.kf_times[:n] > self.kf_times[n - 1] - 10.0
+        sel[:n] |= recent
+        return _build_local_map(
+            jnp.asarray(self.kf_corner), jnp.asarray(self.kf_corner_mask),
+            jnp.asarray(self.kf_surf), jnp.asarray(self.kf_surf_mask),
+            jnp.asarray(self.kf_poses), jnp.asarray(sel),
+            jnp.float32(p.mapping_corner_leaf_size),
+            jnp.float32(p.mapping_surf_leaf_size),
+            map_corner_cap=p.map_corner_cap, map_surf_cap=p.map_surf_cap)
+
+    # ------------------------------------------------------------ keyframes
+    def _is_keyframe(self) -> bool:
+        """saveFrame (ref :1491-1514)."""
+        p = self.params
+        if self.n_keyframes == 0:
+            return True
+        last = self.kf_poses[self.n_keyframes - 1]
+        T_rel = np.array(matrix_to_pose6(
+            inverse_matrix(pose6_to_matrix(jnp.asarray(last)))
+            @ pose6_to_matrix(jnp.asarray(self.pose))))
+        if (np.abs(T_rel[0]) < p.surrounding_keyframe_adding_angle_threshold
+                and np.abs(T_rel[1]) < p.surrounding_keyframe_adding_angle_threshold
+                and np.abs(T_rel[2]) < p.surrounding_keyframe_adding_angle_threshold
+                and np.linalg.norm(T_rel[3:]) < p.surrounding_keyframe_adding_dist_threshold):
+            return False
+        return True
+
+    def add_gps(self, time: float, xyz, cov3):
+        """gpsHandler (ref :391-394) — queue a GPS odometry sample."""
+        self.gps_queue.append((time, np.asarray(xyz, np.float64),
+                               np.asarray(cov3, np.float64)))
+
+    def _add_gps_factor(self, scan_time: float):
+        """addGPSFactor gating (ref :1543-1634), simplified covariance gate:
+        pose covariance is not tracked by the LM window, so the trajectory
+        length + spacing + noise gates apply."""
+        p = self.params
+        n = self.n_keyframes
+        if not self.gps_queue or n == 0:
+            return
+        if np.linalg.norm(self.kf_poses[0, 3:] - self.kf_poses[n - 1, 3:]) < 5.0:
+            return
+        while self.gps_queue:
+            t, xyz, cov = self.gps_queue[0]
+            if t < scan_time - 0.2:
+                self.gps_queue.pop(0)
+            elif t > scan_time + 0.2:
+                break
+            else:
+                self.gps_queue.pop(0)
+                noise = cov.copy()
+                if noise[0] > p.gps_cov_threshold or noise[1] > p.gps_cov_threshold:
+                    continue
+                gps_xyz = xyz.copy()
+                if not p.use_gps_elevation:
+                    gps_xyz[2] = self.pose[5]
+                    noise[2] = 0.01
+                if abs(gps_xyz[0]) < 1e-6 and abs(gps_xyz[1]) < 1e-6:
+                    continue
+                if np.linalg.norm(gps_xyz - self.last_gps_point) < 5.0:
+                    continue
+                self.last_gps_point = gps_xyz.copy()
+                sigma = np.sqrt(np.maximum(noise, 1.0)).astype(np.float32)
+                self.gps_factors.append((n, gps_xyz.astype(np.float32), sigma))
+                self.a_loop_is_closed = True
+                break
+
+    def _save_keyframe(self, feats: ScanFeatures, scan_time: float):
+        """saveKeyFramesAndFactor (ref :1637-1733)."""
+        n = self.n_keyframes
+        assert n < self.max_keyframes, "keyframe capacity exceeded"
+        # odom factor (ref :1517-1541)
+        if n == 0:
+            prior_sigma = np.sqrt(np.array(
+                [1e-2, 1e-2, np.pi ** 2, 1e8, 1e8, 1e8], np.float32))
+            self.prior_factor = (0, self.pose.copy(), prior_sigma)
+        else:
+            last = self.kf_poses[n - 1]
+            rel = np.array(matrix_to_pose6(
+                inverse_matrix(pose6_to_matrix(jnp.asarray(last)))
+                @ pose6_to_matrix(jnp.asarray(self.pose))))
+            sigma = np.sqrt(np.array([1e-6, 1e-6, 1e-6, 1e-4, 1e-4, 1e-4],
+                                     np.float32))
+            self.btw_factors.append((n - 1, n, rel.astype(np.float32), sigma))
+        self._add_gps_factor(scan_time)
+
+        # store keyframe cloud snapshot (lidar frame, downsampled)
+        def take(x, m, cap):
+            xx = np.asarray(x)[np.asarray(m)][:cap]
+            buf = np.zeros((cap, 3), np.float32)
+            msk = np.zeros(cap, bool)
+            buf[: len(xx)] = xx
+            msk[: len(xx)] = True
+            return buf, msk
+
+        self.kf_corner[n], self.kf_corner_mask[n] = take(
+            feats.corner_xyz, feats.corner_mask, self.kf_corner_cap)
+        self.kf_surf[n], self.kf_surf_mask[n] = take(
+            feats.surf_xyz, feats.surf_mask, self.kf_surf_cap)
+        self.kf_poses[n] = self.pose
+        self.kf_times[n] = scan_time
+        self.n_keyframes = n + 1
+
+        # factor-graph update (iSAM2 -> windowed LM)
+        self._optimize_graph()
+
+    def _graph_data(self) -> PoseGraphData:
+        K = self.max_keyframes
+        Fb = max(len(self.btw_factors), 1)
+        Fg = max(len(self.gps_factors), 1)
+        g = PoseGraphData.empty(K, Fp=1, Fb=Fb, Fg=Fg)
+        poses = jnp.asarray(self.kf_poses)
+        mask = np.zeros(K, bool)
+        mask[: self.n_keyframes] = True
+        upd = dict(poses=poses, pose_mask=jnp.asarray(mask))
+        if self.prior_factor is not None:
+            i, meas, sigma = self.prior_factor
+            upd.update(prior_idx=jnp.asarray([i], jnp.int32),
+                       prior_meas=jnp.asarray(meas[None]),
+                       prior_sigma=jnp.asarray(sigma[None]),
+                       prior_mask=jnp.asarray([True]))
+        if self.btw_factors:
+            bi, bj, bm, bs = zip(*self.btw_factors)
+            upd.update(btw_i=jnp.asarray(bi, jnp.int32),
+                       btw_j=jnp.asarray(bj, jnp.int32),
+                       btw_meas=jnp.asarray(np.stack(bm)),
+                       btw_sigma=jnp.asarray(np.stack(bs)),
+                       btw_mask=jnp.ones(len(bi), bool))
+        if self.gps_factors:
+            gi, gm, gs = zip(*self.gps_factors)
+            upd.update(gps_idx=jnp.asarray(gi, jnp.int32),
+                       gps_meas=jnp.asarray(np.stack(gm)),
+                       gps_sigma=jnp.asarray(np.stack(gs)),
+                       gps_mask=jnp.ones(len(gi), bool))
+        return g._replace(**upd)
+
+    def _optimize_graph(self, iterations: int = 8):
+        poses, _ = optimize_pose_graph(self._graph_data(),
+                                       iterations=iterations)
+        poses = np.array(poses)
+        self.kf_poses[: self.n_keyframes] = poses[: self.n_keyframes]
+        self.pose = self.kf_poses[self.n_keyframes - 1].copy()
+        if self.a_loop_is_closed:
+            # correctPoses (ref :1735-1770): all keyposes rewritten above;
+            # bump the reset id so IMU preintegration re-initializes.
+            self.reset_id += 1
+            self.a_loop_is_closed = False
+
+    # ---------------------------------------------------------- loop closure
+    def maybe_close_loop(self, scan_time: float) -> bool:
+        """detectLoopClosure + performLoopClosure (ref :582-782)."""
+        p = self.params
+        n = self.n_keyframes
+        if not p.loop_closure_enable_flag or n < 2:
+            return False
+        cur = n - 1
+        d = np.linalg.norm(self.kf_poses[:n, 3:] - self.kf_poses[cur, 3:],
+                           axis=1)
+        cand = np.where(
+            (d < p.history_keyframe_search_radius)
+            & (np.abs(self.kf_times[:n] - scan_time)
+               > p.history_keyframe_search_time_diff))[0]
+        if len(cand) == 0:
+            return False
+        closest = int(cand[0])
+        if closest == cur:
+            return False
+
+        # submap: +-history_keyframe_search_num around the candidate
+        lo = max(0, closest - p.history_keyframe_search_num)
+        hi = min(n, closest + p.history_keyframe_search_num + 1)
+
+        def world_cloud(indices, cap):
+            pts = []
+            for k in indices:
+                T = np.array(pose6_to_matrix(jnp.asarray(self.kf_poses[k])))
+                for cl, m in ((self.kf_corner[k], self.kf_corner_mask[k]),
+                              (self.kf_surf[k], self.kf_surf_mask[k])):
+                    q = cl[m]
+                    pts.append(q @ T[:3, :3].T + T[:3, 3])
+            pts = np.concatenate(pts) if pts else np.zeros((0, 3), np.float32)
+            buf = np.zeros((cap, 3), np.float32)
+            msk = np.zeros(cap, bool)
+            m = min(len(pts), cap)
+            buf[:m] = pts[:m]
+            msk[:m] = True
+            return buf, msk
+
+        src, src_m = world_cloud([cur], self.loop_submap_cap // 4)
+        dst, dst_m = world_cloud(range(lo, hi), self.loop_submap_cap)
+
+        res = icp_align(jnp.asarray(src), jnp.asarray(src_m),
+                        jnp.asarray(dst), jnp.asarray(dst_m),
+                        max_corr_dist=100.0, max_iterations=100)
+        if not bool(res.converged) or float(res.fitness) > \
+                p.history_keyframe_fitness_score:
+            return False
+
+        # corrected current pose = icp_transform * wrong_pose (ref :739)
+        T_corr = np.array(res.transform) @ np.array(
+            pose6_to_matrix(jnp.asarray(self.kf_poses[cur])))
+        pose_corr = np.array(matrix_to_pose6(jnp.asarray(T_corr)))
+        rel = np.array(matrix_to_pose6(
+            inverse_matrix(pose6_to_matrix(jnp.asarray(pose_corr)))
+            @ pose6_to_matrix(jnp.asarray(self.kf_poses[closest]))))
+        sigma = np.full(6, np.sqrt(max(float(res.fitness), 1e-6)), np.float32)
+        # BetweenFactor(cur, closest) with fitness noise (ref :743-758)
+        self.btw_factors.append((cur, closest, rel.astype(np.float32), sigma))
+        self.a_loop_is_closed = True
+        self._optimize_graph(iterations=12)
+        return True
+
+    # ----------------------------------------------------------------- step
+    def step(self, scan: RawScan, timestamp: float,
+             deskew_info: Optional[DeskewInfo] = None):
+        """laserCloudInfoHandler (ref :346-389)."""
+        p = self.params
+        if timestamp - self.time_last_processing < p.mapping_process_interval:
+            return self.pose
+        self.time_last_processing = timestamp
+
+        cloud, feats = process_scan(p, scan, deskew_info)
+
+        if deskew_info is not None:
+            imu_rpy = np.array(deskew_info.imu_rpy_init)
+            imu_avail = bool(deskew_info.imu_available)
+            odom_avail = bool(deskew_info.odom_available)
+            odom_guess = np.array(deskew_info.initial_guess)
+            odom_rid = int(deskew_info.reset_id)
+        else:
+            imu_rpy = np.zeros(3, np.float32)
+            imu_avail = odom_avail = False
+            odom_guess = np.zeros(6, np.float32)
+            odom_rid = self.reset_id
+
+        self._initial_guess(imu_rpy, imu_avail, odom_avail, odom_guess,
+                            odom_rid)
+
+        local_map = self._surrounding_map()
+        if local_map is not None:
+            res = register_scan_fast(
+                feats, local_map, jnp.asarray(self.pose),
+                max_iterations=p.max_gn_iterations,
+                min_correspondences=p.min_correspondences,
+                edge_min_valid=p.edge_feature_min_valid_num,
+                surf_min_valid=p.surf_feature_min_valid_num,
+                chunk=min(p.knn_chunk, p.map_corner_cap),
+            )
+            pose = transform_update(
+                res.pose6, jnp.asarray(imu_rpy), jnp.asarray(imu_avail),
+                imu_weight=p.imu_attitude_weight,
+                rotation_tolerance=p.rotation_tolerance,
+                z_tolerance=p.z_tolerance)
+            self.pose = np.array(jnp.where(res.valid, pose, res.pose6))
+
+        if self._is_keyframe():
+            self._save_keyframe(feats, timestamp)
+            if p.loop_closure_enable_flag:
+                self.maybe_close_loop(timestamp)
+
+        self.trajectory.append(self.pose.copy())
+        return self.pose
+
+    # ------------------------------------------------------------- map save
+    def save_map(self, directory: str):
+        """PCD checkpoint like visualizeGlobalMapThread's shutdown save
+        (ref :485-521): trajectory, transformations, corner/surf/global."""
+        from ..io.pcd import write_pcd
+
+        os.makedirs(directory, exist_ok=True)
+        n = self.n_keyframes
+        write_pcd(os.path.join(directory, "trajectory.pcd"), {
+            "x": self.kf_poses[:n, 3], "y": self.kf_poses[:n, 4],
+            "z": self.kf_poses[:n, 5],
+            "intensity": np.arange(n, dtype=np.float32)})
+        write_pcd(os.path.join(directory, "transformations.pcd"), {
+            "x": self.kf_poses[:n, 3], "y": self.kf_poses[:n, 4],
+            "z": self.kf_poses[:n, 5],
+            "intensity": np.arange(n, dtype=np.float32),
+            "roll": self.kf_poses[:n, 0], "pitch": self.kf_poses[:n, 1],
+            "yaw": self.kf_poses[:n, 2],
+            "time": self.kf_times[:n]})
+
+        def global_cloud(clouds, masks):
+            pts = []
+            for k in range(n):
+                T = np.array(pose6_to_matrix(jnp.asarray(self.kf_poses[k])))
+                q = clouds[k][masks[k]]
+                pts.append(q @ T[:3, :3].T + T[:3, 3])
+            return (np.concatenate(pts) if pts
+                    else np.zeros((0, 3), np.float32))
+
+        corner = global_cloud(self.kf_corner, self.kf_corner_mask)
+        surf = global_cloud(self.kf_surf, self.kf_surf_mask)
+        for name, pts in (("cloudCorner.pcd", corner), ("cloudSurf.pcd", surf),
+                          ("cloudGlobal.pcd", np.concatenate([corner, surf]))):
+            write_pcd(os.path.join(directory, name), {
+                "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+                "intensity": np.zeros(len(pts), np.float32)})

@@ -142,3 +142,22 @@ def test_transform_update_slerp_and_clamp():
     out2 = np.array(transform_update(pose, imu_rpy, jnp.asarray(False),
                                      rotation_tolerance=10.0, z_tolerance=10.0))
     np.testing.assert_allclose(out2[:3], np.array(pose)[:3], atol=1e-6)
+
+
+def test_register_fast_matches_exact():
+    from feature_base_pointcloud_registration_tpu.ops.register import (
+        register_scan_fast)
+    pose_gt = np.array([0.0, 0.0, 0.25, 2.0, -1.0, 0.0], np.float32)
+    feats, fmap = _features_and_map(pose_gt, seed=9)
+    guess = pose_gt + np.array([0.015, -0.01, 0.04, 0.3, -0.25, 0.1],
+                               np.float32)
+    res_exact = register_scan(feats, fmap, jnp.asarray(guess),
+                              chunk=PARAMS.knn_chunk)
+    res_fast = register_scan_fast(feats, fmap, jnp.asarray(guess),
+                                  chunk=PARAMS.knn_chunk, num_candidates=16)
+    pe = np.array(res_exact.pose6)
+    pf = np.array(res_fast.pose6)
+    assert np.linalg.norm(pf[3:] - pe[3:]) < 2e-3, (pe, pf)
+    assert np.linalg.norm(pf[:3] - pe[:3]) < 2e-3
+    # and both near ground truth
+    assert np.linalg.norm(pf[3:] - pose_gt[3:]) < 0.03
