@@ -34,7 +34,7 @@ def main():
     from feature_base_pointcloud_registration_tpu.ops.projection import (
         project_scan)
     from feature_base_pointcloud_registration_tpu.parallel.batch import (
-        batch_register_fast)
+        batch_register_fast_grid, build_map_grids)
     from feature_base_pointcloud_registration_tpu.pipeline.cloud_info import (
         FeatureMap, RawScan)
     from feature_base_pointcloud_registration_tpu.pipeline.frontend import (
@@ -75,13 +75,24 @@ def main():
                       jnp.asarray(msx), jnp.asarray(msm))
     guesses_j = jnp.asarray(guesses)
 
+    # hash-grid neighbor index over the map volume (built once, amortized)
+    center = np.array([0.0, 0.0, (world.ground_z + world.ceil_z) / 2],
+                      np.float32)
+    half = np.array([world.half_x + 1, world.half_y + 1,
+                     (world.ceil_z - world.ground_z) / 2 + 1], np.float32)
+    ctab, stab, origin, dims = build_map_grids(fmap, center, half)
+
+    def run():
+        return batch_register_fast_grid(
+            feats, fmap, ctab, stab, origin, guesses_j, grid_dims=dims)
+
     # warmup/compile
-    res = batch_register_fast(feats, fmap, guesses_j, chunk=params.knn_chunk)
+    res = run()
     res.pose6.block_until_ready()
 
     t0 = time.perf_counter()
     for _ in range(REPS):
-        res = batch_register_fast(feats, fmap, guesses_j, chunk=params.knn_chunk)
+        res = run()
     res.pose6.block_until_ready()
     dt = time.perf_counter() - t0
 

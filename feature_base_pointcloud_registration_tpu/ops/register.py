@@ -357,3 +357,172 @@ def register_scan_fast(
         is_degenerate=state.is_degenerate,
         valid=gate,
     )
+
+
+@partial(jax.jit, static_argnames=(
+    "max_iterations", "min_correspondences", "eigen_threshold",
+    "edge_min_valid", "surf_min_valid", "cell_cap", "cell_size",
+    "converge_rot_deg", "converge_trans_cm", "grid_dims"))
+def register_scan_grid(
+    features: ScanFeatures,
+    local_map: FeatureMap,
+    corner_grid_table,
+    surf_grid_table,
+    grid_origin_xyz,
+    init_pose6,
+    *,
+    grid_dims,
+    cell_size: float = 1.0,
+    cell_cap: int = 16,
+    max_iterations: int = 30,
+    min_correspondences: int = 50,
+    eigen_threshold: float = 100.0,
+    edge_min_valid: int = 10,
+    surf_min_valid: int = 100,
+    converge_rot_deg: float = 0.05,
+    converge_trans_cm: float = 0.05,
+) -> RegisterResult:
+    """Scan-to-map solve with hash-grid neighbor search (fastest exact path).
+
+    The grid tables are built once per local map with
+    ops.hashgrid.build_grid and amortize across every scan and GN iteration
+    registered against that map.  Exact w.r.t. register_scan for all gated
+    correspondences (the 27-cell neighborhood covers the 1 m accept radius).
+    """
+    from .hashgrid import GridIndex, make_grid_knn
+
+    cg = GridIndex(table=corner_grid_table, origin=grid_origin_xyz,
+                   cell_size=jnp.float32(cell_size), dims=grid_dims)
+    sg = GridIndex(table=surf_grid_table, origin=grid_origin_xyz,
+                   cell_size=jnp.float32(cell_size), dims=grid_dims)
+    return register_core(
+        features,
+        make_grid_knn(local_map.corner_xyz, cg),
+        make_grid_knn(local_map.surf_xyz, sg),
+        init_pose6,
+        max_iterations=max_iterations,
+        min_correspondences=min_correspondences,
+        eigen_threshold=eigen_threshold,
+        edge_min_valid=edge_min_valid,
+        surf_min_valid=surf_min_valid,
+        converge_rot_deg=converge_rot_deg,
+        converge_trans_cm=converge_trans_cm,
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "max_iterations", "min_correspondences", "eigen_threshold",
+    "edge_min_valid", "surf_min_valid", "cell_cap", "cell_size",
+    "num_candidates", "refetch_dist", "converge_rot_deg",
+    "converge_trans_cm", "grid_dims"))
+def register_scan_fast_grid(
+    features: ScanFeatures,
+    local_map: FeatureMap,
+    corner_grid_table,
+    surf_grid_table,
+    grid_origin_xyz,
+    init_pose6,
+    *,
+    grid_dims,
+    cell_size: float = 1.0,
+    cell_cap: int = 16,
+    num_candidates: int = 16,
+    refetch_dist: float = 0.15,
+    max_iterations: int = 30,
+    min_correspondences: int = 50,
+    eigen_threshold: float = 100.0,
+    edge_min_valid: int = 10,
+    surf_min_valid: int = 100,
+    converge_rot_deg: float = 0.05,
+    converge_trans_cm: float = 0.05,
+) -> RegisterResult:
+    """Hash-grid candidate prefetch + in-candidate 5-NN: the hot path.
+
+    Per solve: one 27-cell gather fetches K candidates per feature; each GN
+    iteration searches 5-NN within those K (re-fetched whenever the pose
+    travels > refetch_dist from the fetch point).  Combines the grid's O(1)
+    lookup with the prefetch path's tiny per-iteration footprint; matches
+    register_scan to sub-mm (tests).
+    """
+    from .hashgrid import GridIndex, grid_knn
+
+    cg = GridIndex(table=corner_grid_table, origin=grid_origin_xyz,
+                   cell_size=jnp.float32(cell_size), dims=grid_dims)
+    sg = GridIndex(table=surf_grid_table, origin=grid_origin_xyz,
+                   cell_size=jnp.float32(cell_size), dims=grid_dims)
+
+    n_edge = jnp.sum(features.corner_mask).astype(jnp.int32)
+    n_surf = jnp.sum(features.surf_mask).astype(jnp.int32)
+    gate = (n_edge > edge_min_valid) & (n_surf > surf_min_valid)
+
+    pose0 = jnp.asarray(init_pose6, jnp.float32)
+    vary = pose0.sum() * 0.0
+    K = num_candidates
+
+    def fetch(pose):
+        R = euler_to_rot(pose[0], pose[1], pose[2])
+        t = pose[3:6]
+        prec = jax.lax.Precision.HIGHEST
+        corner_w = jnp.dot(features.corner_xyz, R.T, precision=prec) + t
+        surf_w = jnp.dot(features.surf_xyz, R.T, precision=prec) + t
+        cd, cnn = grid_knn(corner_w, local_map.corner_xyz, cg, k=K)
+        sd, snn = grid_knn(surf_w, local_map.surf_xyz, sg, k=K)
+        return cnn, cd < 1e37, snn, sd < 1e37, pose[3:6]
+
+    cands0 = fetch(pose0)
+
+    init = GNState(
+        pose6=pose0,
+        matP=jnp.eye(6, dtype=jnp.float32) + vary,
+        is_degenerate=vary > 1.0,
+        converged=vary > 1.0,
+        n_corr=vary.astype(jnp.int32),
+    )
+    it0 = jnp.asarray(0, jnp.int32) + vary.astype(jnp.int32)
+
+    def cond_fn(carry):
+        it, state, _ = carry
+        return (it < max_iterations) & ~state.converged & gate
+
+    def body(carry):
+        it, state, cands = carry
+        pose = state.pose6
+        moved = jnp.linalg.norm(pose[3:6] - cands[4]) > refetch_dist
+        cands = lax.cond(moved, lambda: fetch(pose), lambda: cands)
+        cc, ccv, sc, scv, _ = cands
+
+        R = euler_to_rot(pose[0], pose[1], pose[2])
+        t = pose[3:6]
+        prec = jax.lax.Precision.HIGHEST
+        corner_w = jnp.dot(features.corner_xyz, R.T, precision=prec) + t
+        surf_w = jnp.dot(features.surf_xyz, R.T, precision=prec) + t
+
+        c_coeff, c_resid, c_mask = corner_correspondence(
+            corner_w, features.corner_mask, make_candidate_knn(cc, ccv))
+        s_coeff, s_resid, s_mask = surf_correspondence(
+            surf_w, features.surf_mask, make_candidate_knn(sc, scv))
+
+        pts = jnp.concatenate([features.corner_xyz, features.surf_xyz], axis=0)
+        coeff = jnp.concatenate([c_coeff, s_coeff], axis=0)
+        resid = jnp.concatenate([c_resid, s_resid], axis=0)
+        mask = jnp.concatenate([c_mask, s_mask], axis=0)
+
+        state = gn_step(
+            state, pts, coeff, resid, mask, it,
+            min_correspondences=min_correspondences,
+            eigen_threshold=eigen_threshold,
+            converge_rot_deg=converge_rot_deg,
+            converge_trans_cm=converge_trans_cm,
+        )
+        return (it + 1, state, cands)
+
+    it, state, _ = lax.while_loop(cond_fn, body, (it0, init, cands0))
+
+    return RegisterResult(
+        pose6=state.pose6,
+        converged=state.converged,
+        iterations=it,
+        n_corr=state.n_corr,
+        is_degenerate=state.is_degenerate,
+        valid=gate,
+    )

@@ -1,9 +1,13 @@
-from .batch import batch_register, batch_register_fast, make_mesh, shard_register
+from .batch import (batch_register, batch_register_fast,
+                    batch_register_fast_grid, build_map_grids, make_mesh,
+                    shard_register)
 from .map_sharded import make_2d_mesh, map_sharded_register
 
 __all__ = [
     "batch_register",
     "batch_register_fast",
+    "batch_register_fast_grid",
+    "build_map_grids",
     "make_mesh",
     "shard_register",
     "make_2d_mesh",

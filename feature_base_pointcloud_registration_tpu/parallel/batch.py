@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.register import RegisterResult, register_scan, register_scan_fast
+from ..ops.register import (RegisterResult, register_scan, register_scan_fast,
+                            register_scan_fast_grid)
 from ..pipeline.cloud_info import FeatureMap, ScanFeatures
 
 
@@ -116,3 +117,38 @@ def batch_register_fast(features: ScanFeatures, local_map: FeatureMap,
         in_axes=(0, map_axes, 0),
     )
     return fn(features, local_map, init_poses)
+
+
+def build_map_grids(local_map: FeatureMap, center, half_extent,
+                    cell_size: float = 1.0, cell_cap: int = 16,
+                    margin: float = 2.0):
+    """Build the corner+surf hash-grid tables for one local map (amortized
+    across every scan registered against it).  Returns
+    (corner_table, surf_table, origin, dims)."""
+    from ..ops.hashgrid import build_grid, default_grid_spec, grid_origin
+
+    dims = default_grid_spec(half_extent, cell_size, margin)
+    origin = grid_origin(center, half_extent, margin)
+    cg = build_grid(local_map.corner_xyz, local_map.corner_mask, origin,
+                    cell_size, dims=dims, cell_cap=cell_cap)
+    sg = build_grid(local_map.surf_xyz, local_map.surf_mask, origin,
+                    cell_size, dims=dims, cell_cap=cell_cap)
+    return cg.table, sg.table, origin, dims
+
+
+@partial(jax.jit, static_argnames=("grid_dims", "cell_size", "cell_cap",
+                                   "max_iterations", "num_candidates"))
+def batch_register_fast_grid(features: ScanFeatures, local_map: FeatureMap,
+                             corner_table, surf_table, origin, init_poses, *,
+                             grid_dims, cell_size: float = 1.0,
+                             cell_cap: int = 16, max_iterations: int = 30,
+                             num_candidates: int = 16) -> RegisterResult:
+    """vmap of register_scan_fast_grid over a batch against one shared map."""
+    fn = jax.vmap(
+        lambda f, p: register_scan_fast_grid(
+            f, local_map, corner_table, surf_table, origin, p,
+            grid_dims=grid_dims, cell_size=cell_size, cell_cap=cell_cap,
+            max_iterations=max_iterations, num_candidates=num_candidates),
+        in_axes=(0, 0),
+    )
+    return fn(features, init_poses)
