@@ -26,6 +26,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: amortizes the (slow, remote) TPU compile
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/fbpr_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from feature_base_pointcloud_registration_tpu.config import Params
     from feature_base_pointcloud_registration_tpu.io.synthetic import (
         SyntheticWorld, build_feature_map, simulate_scan)

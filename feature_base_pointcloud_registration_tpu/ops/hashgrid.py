@@ -39,9 +39,11 @@ class GridIndex(NamedTuple):
     dims: tuple             # static (Gx, Gy, Gz)
 
 
-@partial(jax.jit, static_argnames=("dims", "cell_cap"))
-def build_grid(pts, mask, origin, cell_size, *, dims, cell_cap) -> GridIndex:
-    """Bucket masked points into the dense cell table."""
+def build_grid_table_core(pts, mask, origin, cell_size, *, dims, cell_cap):
+    """Bucket masked points into the dense cell table; returns the [n_cells,
+    cell_cap] int32 index table only (wrap with GridIndex at the call site —
+    keeping the static `dims` tuple out of traced pytrees).  Not jitted:
+    trace inside an outer jit, or use build_grid_table."""
     M = pts.shape[0]
     Gx, Gy, Gz = dims
     n_cells = Gx * Gy * Gz
@@ -66,12 +68,22 @@ def build_grid(pts, mask, origin, cell_size, *, dims, cell_cap) -> GridIndex:
 
     table = jnp.full((n_cells * cell_cap + 1,), M, jnp.int32)
     table = table.at[slot].set(jnp.where(keep, order.astype(jnp.int32), M))
-    return GridIndex(
-        table=table[:-1].reshape(n_cells, cell_cap),
-        origin=jnp.asarray(origin, jnp.float32),
-        cell_size=jnp.asarray(cell_size, jnp.float32),
-        dims=dims,
-    )
+    return table[:-1].reshape(n_cells, cell_cap)
+
+
+@partial(jax.jit, static_argnames=("dims", "cell_cap"))
+def build_grid_table(pts, mask, origin, cell_size, *, dims, cell_cap):
+    """Jitted top-level wrapper (see register_scan_grid's cache note)."""
+    return build_grid_table_core(pts, mask, origin, cell_size, dims=dims,
+                                 cell_cap=cell_cap)
+
+
+def build_grid(pts, mask, origin, cell_size, *, dims, cell_cap) -> GridIndex:
+    """Convenience wrapper returning a GridIndex."""
+    table = build_grid_table(pts, mask, origin, cell_size, dims=dims,
+                             cell_cap=cell_cap)
+    return GridIndex(table=table, origin=jnp.asarray(origin, jnp.float32),
+                     cell_size=jnp.asarray(cell_size, jnp.float32), dims=dims)
 
 
 def grid_knn(query, pts, grid: GridIndex, k: int = 5):
@@ -99,14 +111,26 @@ def grid_knn(query, pts, grid: GridIndex, k: int = 5):
     cand_idx = jnp.where(
         jnp.repeat(ok, cap, axis=1).reshape(Q, 27 * cap), cand_idx, M)
     valid = cand_idx < M
-    cand = pts[jnp.minimum(cand_idx, M - 1)]              # [Q, 27*cap, 3]
+    safe = jnp.minimum(cand_idx, M - 1)
 
-    diff = query[:, None, :] - cand
-    d2 = jnp.sum(diff * diff, axis=-1)
+    # Gather per coordinate: a [Q, 27*cap, 3] gather gets a (8,128)-tiled
+    # layout whose 3-wide last dim pads 42x in HBM; three [Q, 27*cap] gathers
+    # tile perfectly.
+    cx = pts[:, 0][safe]
+    cy = pts[:, 1][safe]
+    cz = pts[:, 2][safe]
+    dx = query[:, 0:1] - cx
+    dy = query[:, 1:2] - cy
+    dz = query[:, 2:3] - cz
+    d2 = dx * dx + dy * dy + dz * dz
     d2 = jnp.where(valid, d2, _BIG)
 
     vals, pos = _extract_topk(d2, k)
-    nn = jnp.take_along_axis(cand, pos[..., None], axis=1)
+    nn = jnp.stack([
+        jnp.take_along_axis(cx, pos, axis=1),
+        jnp.take_along_axis(cy, pos, axis=1),
+        jnp.take_along_axis(cz, pos, axis=1),
+    ], axis=-1)                                           # [Q, k, 3] (small)
     return vals, nn
 
 

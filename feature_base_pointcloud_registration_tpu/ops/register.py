@@ -359,11 +359,7 @@ def register_scan_fast(
     )
 
 
-@partial(jax.jit, static_argnames=(
-    "max_iterations", "min_correspondences", "eigen_threshold",
-    "edge_min_valid", "surf_min_valid", "cell_cap", "cell_size",
-    "converge_rot_deg", "converge_trans_cm", "grid_dims"))
-def register_scan_grid(
+def register_grid_core(
     features: ScanFeatures,
     local_map: FeatureMap,
     corner_grid_table,
@@ -388,6 +384,7 @@ def register_scan_grid(
     ops.hashgrid.build_grid and amortize across every scan and GN iteration
     registered against that map.  Exact w.r.t. register_scan for all gated
     correspondences (the 27-cell neighborhood covers the 1 m accept radius).
+    Not itself jitted — trace inside jit, or use register_scan_grid.
     """
     from .hashgrid import GridIndex, make_grid_knn
 
@@ -408,6 +405,25 @@ def register_scan_grid(
         converge_rot_deg=converge_rot_deg,
         converge_trans_cm=converge_trans_cm,
     )
+
+
+@partial(jax.jit, static_argnames=(
+    "max_iterations", "min_correspondences", "eigen_threshold",
+    "edge_min_valid", "surf_min_valid", "cell_cap", "cell_size",
+    "converge_rot_deg", "converge_trans_cm", "grid_dims"))
+def register_scan_grid(features, local_map, corner_grid_table,
+                       surf_grid_table, grid_origin_xyz, init_pose6,
+                       **kw) -> RegisterResult:
+    """Jitted top-level wrapper around register_grid_core.
+
+    NOTE: when composing inside another jitted function, call
+    register_grid_core directly — tracing this jitted wrapper inside an
+    outer jit and *also* calling it standalone in the same process trips a
+    cache/buffer-count mismatch in the runtime.
+    """
+    return register_grid_core(features, local_map, corner_grid_table,
+                              surf_grid_table, grid_origin_xyz, init_pose6,
+                              **kw)
 
 
 @partial(jax.jit, static_argnames=(
@@ -525,4 +541,42 @@ def register_scan_fast_grid(
         n_corr=state.n_corr,
         is_degenerate=state.is_degenerate,
         valid=gate,
+    )
+
+
+@partial(jax.jit, static_argnames=("half_extent", "cell_size", "cell_cap",
+                                   "max_iterations", "min_correspondences",
+                                   "edge_min_valid", "surf_min_valid"))
+def grid_register_step(local_map: FeatureMap, features: ScanFeatures, pose6,
+                       *, half_extent, cell_size: float = 1.0,
+                       cell_cap: int = 16, max_iterations: int = 30,
+                       min_correspondences: int = 50, edge_min_valid: int = 10,
+                       surf_min_valid: int = 100) -> RegisterResult:
+    """Hash-grid build + scan-to-map solve as ONE jitted step.
+
+    The single registration entry point shared by the localization and SLAM
+    pipelines (one executable, one compile).  The grid spans pose +-
+    half_extent: exactly the reference's local-map box (ref
+    src/mapOptmization.h:286) since correspondences farther than that can't
+    exist after the crop anyway.
+    """
+    from .hashgrid import (build_grid_table_core, default_grid_spec,
+                           grid_origin)
+
+    he = jnp.asarray(half_extent, jnp.float32)
+    dims = default_grid_spec(half_extent, cell_size)
+    origin = grid_origin(pose6[3:6], he)
+    ctab = build_grid_table_core(local_map.corner_xyz, local_map.corner_mask,
+                                 origin, cell_size, dims=dims,
+                                 cell_cap=cell_cap)
+    stab = build_grid_table_core(local_map.surf_xyz, local_map.surf_mask,
+                                 origin, cell_size, dims=dims,
+                                 cell_cap=cell_cap)
+    return register_grid_core(
+        features, local_map, ctab, stab, origin, pose6, grid_dims=dims,
+        cell_size=cell_size, cell_cap=cell_cap,
+        max_iterations=max_iterations,
+        min_correspondences=min_correspondences,
+        edge_min_valid=edge_min_valid,
+        surf_min_valid=surf_min_valid,
     )

@@ -28,7 +28,7 @@ import numpy as np
 
 from ..config import Params
 from ..ops.cropbox import crop_box
-from ..ops.register import RegisterResult, register_scan, transform_update
+from ..ops.register import RegisterResult, transform_update
 from ..ops.voxel import voxel_downsample
 from .cloud_info import DeskewInfo, FeatureMap, RawScan, ScanFeatures
 from .frontend import process_scan
@@ -84,34 +84,16 @@ class GlobalMap:
         return cls.from_arrays(params, corner, surf, **kw)
 
 
-@partial(jax.jit, static_argnames=("map_corner_cap", "map_surf_cap", "chunk",
-                                   "max_iterations", "min_correspondences",
-                                   "edge_min_valid", "surf_min_valid"))
-def _crop_and_register(gm_corner, gm_corner_mask, gm_surf, gm_surf_mask,
-                       features: ScanFeatures, init_pose6, half_extent,
-                       imu_rpy_init, imu_available, rotation_tolerance,
-                       z_tolerance, *, map_corner_cap, map_surf_cap, chunk,
-                       max_iterations, min_correspondences,
-                       edge_min_valid, surf_min_valid):
-    center = init_pose6[3:6]
-    cx, cm, _ = crop_box(gm_corner, gm_corner_mask, center, half_extent,
+@partial(jax.jit, static_argnames=("map_corner_cap", "map_surf_cap",
+                                   "half_extent"))
+def _crop_local_map(gm_corner, gm_corner_mask, gm_surf, gm_surf_mask,
+                    center, *, half_extent, map_corner_cap, map_surf_cap):
+    """CropBox local map around the pose guess (ref :283-304)."""
+    he = jnp.asarray(half_extent, jnp.float32)
+    cx, cm, _ = crop_box(gm_corner, gm_corner_mask, center, he,
                          map_corner_cap)
-    sx, sm, _ = crop_box(gm_surf, gm_surf_mask, center, half_extent,
-                         map_surf_cap)
-    local_map = FeatureMap(cx, cm, sx, sm)
-    res = register_scan(
-        features, local_map, init_pose6,
-        max_iterations=max_iterations,
-        min_correspondences=min_correspondences,
-        edge_min_valid=edge_min_valid,
-        surf_min_valid=surf_min_valid,
-        chunk=chunk,
-    )
-    pose = transform_update(res.pose6, imu_rpy_init, imu_available,
-                            rotation_tolerance=rotation_tolerance,
-                            z_tolerance=z_tolerance)
-    pose = jnp.where(res.valid, pose, res.pose6)
-    return res._replace(pose6=pose)
+    sx, sm, _ = crop_box(gm_surf, gm_surf_mask, center, he, map_surf_cap)
+    return FeatureMap(cx, cm, sx, sm)
 
 
 @dataclasses.dataclass
@@ -148,19 +130,30 @@ class LocalizationPipeline:
         imu_avail = (deskew_info.imu_available if deskew_info is not None
                      else jnp.asarray(False))
 
-        res = _crop_and_register(
+        from ..ops.register import grid_register_step
+
+        guess_j = jnp.asarray(guess)
+        local_map = _crop_local_map(
             self.global_map.corner_xyz, self.global_map.corner_mask,
             self.global_map.surf_xyz, self.global_map.surf_mask,
-            feats, jnp.asarray(guess),
-            jnp.asarray(p.local_map_half_extent, jnp.float32),
-            imu_rpy, imu_avail,
-            jnp.float32(p.rotation_tolerance), jnp.float32(p.z_tolerance),
-            map_corner_cap=p.map_corner_cap, map_surf_cap=p.map_surf_cap,
-            chunk=p.knn_chunk, max_iterations=p.max_gn_iterations,
+            guess_j[3:6],
+            half_extent=tuple(p.local_map_half_extent),
+            map_corner_cap=p.map_corner_cap, map_surf_cap=p.map_surf_cap)
+        res = grid_register_step(
+            local_map, feats, guess_j,
+            half_extent=tuple(p.local_map_half_extent),
+            max_iterations=p.max_gn_iterations,
             min_correspondences=p.min_correspondences,
             edge_min_valid=p.edge_feature_min_valid_num,
             surf_min_valid=p.surf_feature_min_valid_num,
         )
+        pose_fused = transform_update(
+            res.pose6, imu_rpy, imu_avail,
+            imu_weight=p.imu_attitude_weight,
+            rotation_tolerance=p.rotation_tolerance,
+            z_tolerance=p.z_tolerance)
+        res = res._replace(
+            pose6=jnp.where(res.valid, pose_fused, res.pose6))
         self.last_result = res
         self.pose = np.array(res.pose6)
         return self.pose

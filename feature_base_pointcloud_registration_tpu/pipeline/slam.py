@@ -33,7 +33,7 @@ from ..config import Params
 from ..geom.se3 import compose_pose6, inverse_matrix, matrix_to_pose6, pose6_to_matrix
 from ..graph.pose_graph import PoseGraphData, optimize_pose_graph
 from ..ops.icp import icp_align
-from ..ops.register import register_scan_fast, transform_update
+from ..ops.register import transform_update
 from ..ops.voxel import voxel_downsample
 from .cloud_info import DeskewInfo, FeatureMap, RawScan, ScanFeatures
 from .frontend import process_scan
@@ -393,13 +393,14 @@ class SlamPipeline:
 
         local_map = self._surrounding_map()
         if local_map is not None:
-            res = register_scan_fast(
-                feats, local_map, jnp.asarray(self.pose),
+            from ..ops.register import grid_register_step
+            res = grid_register_step(
+                local_map, feats, jnp.asarray(self.pose),
+                half_extent=tuple(p.local_map_half_extent),
                 max_iterations=p.max_gn_iterations,
                 min_correspondences=p.min_correspondences,
                 edge_min_valid=p.edge_feature_min_valid_num,
                 surf_min_valid=p.surf_feature_min_valid_num,
-                chunk=min(p.knn_chunk, p.map_corner_cap),
             )
             pose = transform_update(
                 res.pose6, jnp.asarray(imu_rpy), jnp.asarray(imu_avail),

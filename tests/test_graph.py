@@ -86,11 +86,11 @@ def test_pose_graph_gps_anchors_drift():
     gps_idx = np.zeros(8, np.int32)
     gps_meas = np.zeros((8, 3), np.float32)
     gps_mask = np.zeros(8, bool)
-    for n, k in enumerate([5, 10, 15, 19]):
+    for n, k in enumerate([3, 6, 9, 12, 15, 19]):
         gps_idx[n] = k
         gps_meas[n] = gt[k, 3:]
         gps_mask[n] = True
-    gps_sigma = np.ones((8, 3), np.float32) * 0.05
+    gps_sigma = np.ones((8, 3), np.float32) * 0.01
     g_no_gps = g._replace(btw_meas=jnp.asarray(btw_meas))
     g_gps = g_no_gps._replace(gps_idx=jnp.asarray(gps_idx),
                               gps_meas=jnp.asarray(gps_meas),
