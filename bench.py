@@ -42,7 +42,7 @@ def main():
     from feature_base_pointcloud_registration_tpu.ops.projection import (
         project_scan)
     from feature_base_pointcloud_registration_tpu.parallel.batch import (
-        batch_register_fast_grid, build_map_grids)
+        batch_register_rounds, build_map_grids)
     from feature_base_pointcloud_registration_tpu.pipeline.cloud_info import (
         FeatureMap, RawScan)
     from feature_base_pointcloud_registration_tpu.pipeline.frontend import (
@@ -91,8 +91,8 @@ def main():
     ctab, stab, origin, dims = build_map_grids(fmap, center, half)
 
     def run():
-        return batch_register_fast_grid(
-            feats, fmap, ctab, stab, origin, guesses_j, grid_dims=dims)
+        return batch_register_rounds(
+            feats, ctab, stab, origin, guesses_j, grid_dims=dims)
 
     # warmup/compile
     res = run()

@@ -151,3 +151,103 @@ def default_grid_spec(half_extent, cell_size: float = 1.0, margin: float = 2.0):
 def grid_origin(center, half_extent, margin: float = 2.0):
     return (jnp.asarray(center, jnp.float32)
             - jnp.asarray(half_extent, jnp.float32) - margin)
+
+
+# ---------------------------------------------------------------------------
+# Packed-coordinate grid: the TPU-fast variant.
+#
+# Gathering candidate *indices* and then their coordinates costs ~14M random
+# element gathers per query set — XLA lowers those to scalar loads on TPU
+# (measured 83 ms for 8192 queries).  Packing each cell's point coordinates
+# into its table row turns the whole lookup into [Q, 27] row gathers of
+# contiguous 4*cap floats (planar x/y/z/valid layout), which XLA emits as
+# efficient sliced DMAs.
+# ---------------------------------------------------------------------------
+
+
+def build_grid_packed_core(pts, mask, origin, cell_size, *, dims, cell_cap):
+    """Packed cell table [n_cells, 4*cell_cap]: planar (x*cap|y*cap|z*cap|valid*cap)."""
+    M = pts.shape[0]
+    Gx, Gy, Gz = dims
+    n_cells = Gx * Gy * Gz
+
+    ijk = jnp.floor((pts - origin) / cell_size).astype(jnp.int32)
+    in_grid = (mask
+               & jnp.all(ijk >= 0, axis=-1)
+               & (ijk[:, 0] < Gx) & (ijk[:, 1] < Gy) & (ijk[:, 2] < Gz))
+    cell = jnp.where(in_grid,
+                     (ijk[:, 0] * Gy + ijk[:, 1]) * Gz + ijk[:, 2],
+                     n_cells)
+
+    order = jnp.argsort(cell)
+    cell_s = cell[order]
+    first = jnp.searchsorted(cell_s, cell_s, side="left")
+    rank = jnp.arange(M, dtype=jnp.int32) - first.astype(jnp.int32)
+    keep = (cell_s < n_cells) & (rank < cell_cap)
+    rank_c = jnp.minimum(rank, cell_cap - 1)
+
+    p_sorted = pts[order]
+    base = cell_s * (4 * cell_cap)
+    flat = jnp.zeros((n_cells * 4 * cell_cap + 1,), jnp.float32)
+    drop = n_cells * 4 * cell_cap
+    for axis in range(3):
+        slot = jnp.where(keep, base + axis * cell_cap + rank_c, drop)
+        flat = flat.at[slot].set(jnp.where(keep, p_sorted[:, axis], 0.0))
+    slot = jnp.where(keep, base + 3 * cell_cap + rank_c, drop)
+    flat = flat.at[slot].set(jnp.where(keep, 1.0, 0.0))
+    return flat[:-1].reshape(n_cells, 4 * cell_cap)
+
+
+@partial(jax.jit, static_argnames=("dims", "cell_cap"))
+def build_grid_packed(pts, mask, origin, cell_size, *, dims, cell_cap):
+    return build_grid_packed_core(pts, mask, origin, cell_size, dims=dims,
+                                  cell_cap=cell_cap)
+
+
+def grid_knn_packed(query, packed, origin, cell_size, *, dims, cell_cap,
+                    k: int = 5):
+    """k-NN among 27-cell candidates from the packed table.
+
+    Returns (d2 [Q,k], nn [Q,k,3]) — same contract as grid_knn, ~50x less
+    gather cost (contiguous row slices instead of element gathers)."""
+    Q = query.shape[0]
+    Gx, Gy, Gz = dims
+    cap = cell_cap
+
+    ijk = jnp.floor((query - origin) / cell_size).astype(jnp.int32)
+    offs = jnp.asarray(
+        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+         for dz in (-1, 0, 1)], jnp.int32)
+    n_ijk = ijk[:, None, :] + offs[None, :, :]
+    ok = (jnp.all(n_ijk >= 0, axis=-1)
+          & (n_ijk[..., 0] < Gx) & (n_ijk[..., 1] < Gy) & (n_ijk[..., 2] < Gz))
+    n_cell = (n_ijk[..., 0] * Gy + n_ijk[..., 1]) * Gz + n_ijk[..., 2]
+    n_cell = jnp.where(ok, n_cell, 0)
+
+    rows = packed[n_cell]                       # [Q, 27, 4*cap] row gathers
+    rows = rows.reshape(Q, 27, 4, cap)
+    cx = rows[:, :, 0, :].reshape(Q, 27 * cap)
+    cy = rows[:, :, 1, :].reshape(Q, 27 * cap)
+    cz = rows[:, :, 2, :].reshape(Q, 27 * cap)
+    valid = rows[:, :, 3, :].reshape(Q, 27 * cap) > 0.5
+    valid = valid & jnp.repeat(ok, cap, axis=1)
+
+    dx = query[:, 0:1] - cx
+    dy = query[:, 1:2] - cy
+    dz = query[:, 2:3] - cz
+    d2 = dx * dx + dy * dy + dz * dz
+    d2 = jnp.where(valid, d2, _BIG)
+
+    vals, pos = _extract_topk(d2, k)
+    nn = jnp.stack([
+        jnp.take_along_axis(cx, pos, axis=1),
+        jnp.take_along_axis(cy, pos, axis=1),
+        jnp.take_along_axis(cz, pos, axis=1),
+    ], axis=-1)
+    return vals, nn
+
+
+def make_packed_grid_knn(packed, origin, cell_size, *, dims, cell_cap,
+                         k: int = 5):
+    return lambda q: grid_knn_packed(q, packed, origin, cell_size, dims=dims,
+                                     cell_cap=cell_cap, k=k)

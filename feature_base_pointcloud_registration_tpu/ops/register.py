@@ -380,22 +380,20 @@ def register_grid_core(
 ) -> RegisterResult:
     """Scan-to-map solve with hash-grid neighbor search (fastest exact path).
 
-    The grid tables are built once per local map with
-    ops.hashgrid.build_grid and amortize across every scan and GN iteration
+    Takes PACKED coordinate tables (ops.hashgrid.build_grid_packed), built
+    once per local map and amortized across every scan and GN iteration
     registered against that map.  Exact w.r.t. register_scan for all gated
     correspondences (the 27-cell neighborhood covers the 1 m accept radius).
     Not itself jitted — trace inside jit, or use register_scan_grid.
     """
-    from .hashgrid import GridIndex, make_grid_knn
+    from .hashgrid import make_packed_grid_knn
 
-    cg = GridIndex(table=corner_grid_table, origin=grid_origin_xyz,
-                   cell_size=jnp.float32(cell_size), dims=grid_dims)
-    sg = GridIndex(table=surf_grid_table, origin=grid_origin_xyz,
-                   cell_size=jnp.float32(cell_size), dims=grid_dims)
     return register_core(
         features,
-        make_grid_knn(local_map.corner_xyz, cg),
-        make_grid_knn(local_map.surf_xyz, sg),
+        make_packed_grid_knn(corner_grid_table, grid_origin_xyz, cell_size,
+                             dims=grid_dims, cell_cap=cell_cap),
+        make_packed_grid_knn(surf_grid_table, grid_origin_xyz, cell_size,
+                             dims=grid_dims, cell_cap=cell_cap),
         init_pose6,
         max_iterations=max_iterations,
         min_correspondences=min_correspondences,
@@ -460,12 +458,14 @@ def register_scan_fast_grid(
     lookup with the prefetch path's tiny per-iteration footprint; matches
     register_scan to sub-mm (tests).
     """
-    from .hashgrid import GridIndex, grid_knn
+    from .hashgrid import make_packed_grid_knn
 
-    cg = GridIndex(table=corner_grid_table, origin=grid_origin_xyz,
-                   cell_size=jnp.float32(cell_size), dims=grid_dims)
-    sg = GridIndex(table=surf_grid_table, origin=grid_origin_xyz,
-                   cell_size=jnp.float32(cell_size), dims=grid_dims)
+    corner_gknn = make_packed_grid_knn(corner_grid_table, grid_origin_xyz,
+                                       cell_size, dims=grid_dims,
+                                       cell_cap=cell_cap, k=num_candidates)
+    surf_gknn = make_packed_grid_knn(surf_grid_table, grid_origin_xyz,
+                                     cell_size, dims=grid_dims,
+                                     cell_cap=cell_cap, k=num_candidates)
 
     n_edge = jnp.sum(features.corner_mask).astype(jnp.int32)
     n_surf = jnp.sum(features.surf_mask).astype(jnp.int32)
@@ -481,8 +481,8 @@ def register_scan_fast_grid(
         prec = jax.lax.Precision.HIGHEST
         corner_w = jnp.dot(features.corner_xyz, R.T, precision=prec) + t
         surf_w = jnp.dot(features.surf_xyz, R.T, precision=prec) + t
-        cd, cnn = grid_knn(corner_w, local_map.corner_xyz, cg, k=K)
-        sd, snn = grid_knn(surf_w, local_map.surf_xyz, sg, k=K)
+        cd, cnn = corner_gknn(corner_w)
+        sd, snn = surf_gknn(surf_w)
         return cnn, cd < 1e37, snn, sd < 1e37, pose[3:6]
 
     cands0 = fetch(pose0)
@@ -560,23 +560,134 @@ def grid_register_step(local_map: FeatureMap, features: ScanFeatures, pose6,
     src/mapOptmization.h:286) since correspondences farther than that can't
     exist after the crop anyway.
     """
-    from .hashgrid import (build_grid_table_core, default_grid_spec,
+    from .hashgrid import (build_grid_packed_core, default_grid_spec,
                            grid_origin)
 
     he = jnp.asarray(half_extent, jnp.float32)
     dims = default_grid_spec(half_extent, cell_size)
     origin = grid_origin(pose6[3:6], he)
-    ctab = build_grid_table_core(local_map.corner_xyz, local_map.corner_mask,
-                                 origin, cell_size, dims=dims,
-                                 cell_cap=cell_cap)
-    stab = build_grid_table_core(local_map.surf_xyz, local_map.surf_mask,
-                                 origin, cell_size, dims=dims,
-                                 cell_cap=cell_cap)
-    return register_grid_core(
-        features, local_map, ctab, stab, origin, pose6, grid_dims=dims,
-        cell_size=cell_size, cell_cap=cell_cap,
-        max_iterations=max_iterations,
+    from .hashgrid import make_packed_grid_knn
+
+    ctab = build_grid_packed_core(local_map.corner_xyz, local_map.corner_mask,
+                                  origin, cell_size, dims=dims,
+                                  cell_cap=cell_cap)
+    stab = build_grid_packed_core(local_map.surf_xyz, local_map.surf_mask,
+                                  origin, cell_size, dims=dims,
+                                  cell_cap=cell_cap)
+    iters_per_round = 10
+    num_rounds = max(1, (max_iterations + iters_per_round - 1)
+                     // iters_per_round)
+    return register_rounds_core(
+        features,
+        make_packed_grid_knn(ctab, origin, cell_size, dims=dims,
+                             cell_cap=cell_cap, k=16),
+        make_packed_grid_knn(stab, origin, cell_size, dims=dims,
+                             cell_cap=cell_cap, k=16),
+        pose6,
+        num_rounds=num_rounds,
+        iters_per_round=iters_per_round,
         min_correspondences=min_correspondences,
         edge_min_valid=edge_min_valid,
         surf_min_valid=surf_min_valid,
+    )
+
+
+def register_rounds_core(
+    features: ScanFeatures,
+    corner_fetch,
+    surf_fetch,
+    init_pose6,
+    *,
+    num_rounds: int = 3,
+    iters_per_round: int = 10,
+    min_correspondences: int = 50,
+    eigen_threshold: float = 100.0,
+    edge_min_valid: int = 10,
+    surf_min_valid: int = 100,
+    converge_rot_deg: float = 0.05,
+    converge_trans_cm: float = 0.05,
+) -> RegisterResult:
+    """Rounds-structured solve: (prefetch K candidates -> I candidate-GN
+    iterations) x R, unconditionally.
+
+    Under vmap, a data-dependent refetch (lax.cond) executes its expensive
+    branch for the whole batch every iteration; fixed rounds fetch exactly R
+    times.  R*I defaults to the reference's 30-iteration budget; candidates
+    are refreshed every I iterations (GN steps shrink fast, so the round-
+    boundary refetch keeps the 5-NN within the candidate neighborhood —
+    parity with register_scan validated in tests).
+
+    corner_fetch/surf_fetch: (pts_world) -> (cand_d2 [N,K], cand_nn [N,K,3]).
+    """
+    n_edge = jnp.sum(features.corner_mask).astype(jnp.int32)
+    n_surf = jnp.sum(features.surf_mask).astype(jnp.int32)
+    gate = (n_edge > edge_min_valid) & (n_surf > surf_min_valid)
+
+    pose0 = jnp.asarray(init_pose6, jnp.float32)
+    vary = pose0.sum() * 0.0
+    init = GNState(
+        pose6=pose0,
+        matP=jnp.eye(6, dtype=jnp.float32) + vary,
+        is_degenerate=vary > 1.0,
+        converged=vary > 1.0,
+        n_corr=vary.astype(jnp.int32),
+    )
+    it0 = jnp.asarray(0, jnp.int32) + vary.astype(jnp.int32)
+    prec = jax.lax.Precision.HIGHEST
+    pts_all = jnp.concatenate([features.corner_xyz, features.surf_xyz], axis=0)
+
+    def transform(pose):
+        R = euler_to_rot(pose[0], pose[1], pose[2])
+        t = pose[3:6]
+        return (jnp.dot(features.corner_xyz, R.T, precision=prec) + t,
+                jnp.dot(features.surf_xyz, R.T, precision=prec) + t)
+
+    def round_body(carry, _):
+        it, state = carry
+        # a fresh candidate set invalidates the convergence claim: the
+        # reference's convergence is w.r.t. the full map, so each round must
+        # re-verify (a truly-converged lane exits after one cheap iteration)
+        state = state._replace(converged=state.converged & False)
+        corner_w, surf_w = transform(state.pose6)
+        cd, cnn = corner_fetch(corner_w)
+        sd, snn = surf_fetch(surf_w)
+        c_knn = make_candidate_knn(cnn, cd < 1e37)
+        s_knn = make_candidate_knn(snn, sd < 1e37)
+
+        def iter_cond(c):
+            it, state = c
+            return (it < (iters_per_round + 0 * it)) & ~state.converged & gate
+
+        def iter_body(c):
+            it_in, state = c
+            corner_w, surf_w = transform(state.pose6)
+            c_coeff, c_resid, c_mask = corner_correspondence(
+                corner_w, features.corner_mask, c_knn)
+            s_coeff, s_resid, s_mask = surf_correspondence(
+                surf_w, features.surf_mask, s_knn)
+            coeff = jnp.concatenate([c_coeff, s_coeff], axis=0)
+            resid = jnp.concatenate([c_resid, s_resid], axis=0)
+            mask = jnp.concatenate([c_mask, s_mask], axis=0)
+            state = gn_step(
+                state, pts_all, coeff, resid, mask, it + it_in,
+                min_correspondences=min_correspondences,
+                eigen_threshold=eigen_threshold,
+                converge_rot_deg=converge_rot_deg,
+                converge_trans_cm=converge_trans_cm,
+            )
+            return (it_in + 1, state)
+
+        done, state = lax.while_loop(iter_cond, iter_body,
+                                     (it0 * 0, state))
+        return (it + done, state), None
+
+    (it, state), _ = lax.scan(round_body, (it0, init), None,
+                              length=num_rounds)
+    return RegisterResult(
+        pose6=state.pose6,
+        converged=state.converged,
+        iterations=it,
+        n_corr=state.n_corr,
+        is_degenerate=state.is_degenerate,
+        valid=gate,
     )

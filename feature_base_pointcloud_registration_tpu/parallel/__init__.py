@@ -1,5 +1,6 @@
 from .batch import (batch_register, batch_register_fast,
-                    batch_register_fast_grid, build_map_grids, make_mesh,
+                    batch_register_fast_grid, batch_register_rounds,
+                    build_map_grids, make_mesh,
                     shard_register)
 from .map_sharded import make_2d_mesh, map_sharded_register
 
@@ -7,6 +8,7 @@ __all__ = [
     "batch_register",
     "batch_register_fast",
     "batch_register_fast_grid",
+    "batch_register_rounds",
     "build_map_grids",
     "make_mesh",
     "shard_register",

@@ -125,15 +125,16 @@ def build_map_grids(local_map: FeatureMap, center, half_extent,
     """Build the corner+surf hash-grid tables for one local map (amortized
     across every scan registered against it).  Returns
     (corner_table, surf_table, origin, dims)."""
-    from ..ops.hashgrid import build_grid, default_grid_spec, grid_origin
+    from ..ops.hashgrid import (build_grid_packed, default_grid_spec,
+                                grid_origin)
 
     dims = default_grid_spec(half_extent, cell_size, margin)
     origin = grid_origin(center, half_extent, margin)
-    cg = build_grid(local_map.corner_xyz, local_map.corner_mask, origin,
-                    cell_size, dims=dims, cell_cap=cell_cap)
-    sg = build_grid(local_map.surf_xyz, local_map.surf_mask, origin,
-                    cell_size, dims=dims, cell_cap=cell_cap)
-    return cg.table, sg.table, origin, dims
+    ctab = build_grid_packed(local_map.corner_xyz, local_map.corner_mask,
+                             origin, cell_size, dims=dims, cell_cap=cell_cap)
+    stab = build_grid_packed(local_map.surf_xyz, local_map.surf_mask,
+                             origin, cell_size, dims=dims, cell_cap=cell_cap)
+    return ctab, stab, origin, dims
 
 
 @partial(jax.jit, static_argnames=("grid_dims", "cell_size", "cell_cap",
@@ -149,6 +150,38 @@ def batch_register_fast_grid(features: ScanFeatures, local_map: FeatureMap,
             f, local_map, corner_table, surf_table, origin, p,
             grid_dims=grid_dims, cell_size=cell_size, cell_cap=cell_cap,
             max_iterations=max_iterations, num_candidates=num_candidates),
+        in_axes=(0, 0),
+    )
+    return fn(features, init_poses)
+
+
+@partial(jax.jit, static_argnames=("grid_dims", "cell_size", "cell_cap",
+                                   "num_rounds", "iters_per_round",
+                                   "num_candidates"))
+def batch_register_rounds(features: ScanFeatures, corner_packed, surf_packed,
+                          origin, init_poses, *, grid_dims,
+                          cell_size: float = 1.0, cell_cap: int = 16,
+                          num_rounds: int = 3, iters_per_round: int = 10,
+                          num_candidates: int = 16) -> RegisterResult:
+    """vmap of the rounds-structured solve against one shared packed map.
+
+    The fastest batched path: R unconditional prefetches per scan (vmap-safe,
+    no cond branches), candidate-local GN iterations in between.
+    """
+    from ..ops.hashgrid import make_packed_grid_knn
+    from ..ops.register import register_rounds_core
+
+    cfetch = make_packed_grid_knn(corner_packed, origin, cell_size,
+                                  dims=grid_dims, cell_cap=cell_cap,
+                                  k=num_candidates)
+    sfetch = make_packed_grid_knn(surf_packed, origin, cell_size,
+                                  dims=grid_dims, cell_cap=cell_cap,
+                                  k=num_candidates)
+
+    fn = jax.vmap(
+        lambda f, p: register_rounds_core(
+            f, cfetch, sfetch, p,
+            num_rounds=num_rounds, iters_per_round=iters_per_round),
         in_axes=(0, 0),
     )
     return fn(features, init_poses)

@@ -14,13 +14,13 @@ from feature_base_pointcloud_registration_tpu.pipeline.slam import SlamPipeline
 PARAMS = Params(map_corner_cap=8192, map_surf_cap=65536, knn_chunk=2048)
 
 
-def _trajectory(n=6):
+def _trajectory(n=6, step=0.8, yaw_rate=0.15):
     """Ground-truth poses walking through the room while turning."""
     poses = []
     for k in range(n):
-        yaw = 0.15 * k
-        poses.append(np.array([0.0, 0.0, yaw, 0.8 * k - 2.0, 0.4 * k - 1.0,
-                               0.0], np.float32))
+        yaw = yaw_rate * k
+        poses.append(np.array([0.0, 0.0, yaw, step * k - 2.0,
+                               0.5 * step * k - 1.0, 0.0], np.float32))
     return poses
 
 
@@ -69,7 +69,11 @@ def test_slam_pipeline_odometry():
     world = SyntheticWorld()
     params = PARAMS
     pipe = SlamPipeline(params, max_keyframes=32)
-    gt = _trajectory(5)
+    # 10 Hz-like motion: ~0.25 m / 0.04 rad between processed scans (the
+    # reference's no-IMU fallback guess is the previous pose too,
+    # ref :839-854 — large inter-scan jumps need the IMU/preintegration
+    # guesses that test_imu_odometry covers)
+    gt = _trajectory(6, step=0.25, yaw_rate=0.04)
     ests = []
     for k, pose_gt in enumerate(gt):
         est = pipe.step(_raw(world, pose_gt, seed=10 + k),

@@ -161,3 +161,21 @@ def test_register_fast_matches_exact():
     assert np.linalg.norm(pf[:3] - pe[:3]) < 2e-3
     # and both near ground truth
     assert np.linalg.norm(pf[3:] - pose_gt[3:]) < 0.03
+
+
+def test_register_rounds_grid_matches_exact():
+    from feature_base_pointcloud_registration_tpu.ops.register import (
+        grid_register_step)
+    pose_gt = np.array([0.0, 0.0, 0.25, 2.0, -1.0, 0.0], np.float32)
+    feats, fmap = _features_and_map(pose_gt, seed=9)
+    guess = pose_gt + np.array([0.015, -0.01, 0.04, 0.3, -0.25, 0.1],
+                               np.float32)
+    res_exact = register_scan(feats, fmap, jnp.asarray(guess),
+                              chunk=PARAMS.knn_chunk)
+    res_grid = grid_register_step(fmap, feats, jnp.asarray(guess),
+                                  half_extent=(30.0, 30.0, 10.0))
+    pe = np.array(res_exact.pose6)
+    pg = np.array(res_grid.pose6)
+    assert np.linalg.norm(pg[3:] - pe[3:]) < 3e-3, (pe, pg)
+    assert np.linalg.norm(pg[:3] - pe[:3]) < 3e-3
+    assert np.linalg.norm(pg[3:] - pose_gt[3:]) < 0.03
