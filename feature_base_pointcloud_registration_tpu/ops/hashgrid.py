@@ -27,9 +27,25 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from jax import lax
+
 from .knn import _extract_topk
 
 _BIG = jnp.float32(3.0e38)
+
+
+def _topk_small(d2, k: int):
+    """Smallest-k over the last axis.
+
+    approx_min_k lowers to a fused single-pass PartialReduce on TPU (6x
+    faster than k argmin passes at k=16); recall on these candidate sets is
+    ~1.0 and the per-iteration 5-NN within candidates is exact anyway.
+    Tiny cases keep the exact extraction."""
+    if k <= 5 and d2.shape[-1] <= 64:
+        return _extract_topk(d2, k)
+    vals, pos = lax.approx_min_k(d2, k, recall_target=0.95,
+                                 aggregate_to_topk=True)
+    return vals, pos.astype(jnp.int32)
 
 
 class GridIndex(NamedTuple):
@@ -125,7 +141,7 @@ def grid_knn(query, pts, grid: GridIndex, k: int = 5):
     d2 = dx * dx + dy * dy + dz * dz
     d2 = jnp.where(valid, d2, _BIG)
 
-    vals, pos = _extract_topk(d2, k)
+    vals, pos = _topk_small(d2, k)
     nn = jnp.stack([
         jnp.take_along_axis(cx, pos, axis=1),
         jnp.take_along_axis(cy, pos, axis=1),
@@ -238,7 +254,7 @@ def grid_knn_packed(query, packed, origin, cell_size, *, dims, cell_cap,
     d2 = dx * dx + dy * dy + dz * dz
     d2 = jnp.where(valid, d2, _BIG)
 
-    vals, pos = _extract_topk(d2, k)
+    vals, pos = _topk_small(d2, k)
     nn = jnp.stack([
         jnp.take_along_axis(cx, pos, axis=1),
         jnp.take_along_axis(cy, pos, axis=1),
@@ -251,3 +267,82 @@ def make_packed_grid_knn(packed, origin, cell_size, *, dims, cell_cap,
                          k: int = 5):
     return lambda q: grid_knn_packed(q, packed, origin, cell_size, dims=dims,
                                      cell_cap=cell_cap, k=k)
+
+
+# ---------------------------------------------------------------------------
+# Octant lookup: 2x2x2 cells of size >= 2 * gate radius.
+#
+# With cell_size = 2 m, picking the 8-cell block whose corner is chosen by
+# the query's octant within its cell guarantees >= 1 m of margin on every
+# axis — exactly the reference's correspondence gate — while touching 8
+# contiguous rows instead of 27 and ~256 candidates instead of 432.
+# ---------------------------------------------------------------------------
+
+
+def grid_knn_oct(query, packed, origin, cell_size, *, dims, cell_cap,
+                 k: int = 5):
+    """k-NN among the 2x2x2-octant candidates (cell_size >= 2 * gate radius).
+
+    Same contract as grid_knn_packed; exact for neighbors within
+    cell_size/2 of the query."""
+    Q = query.shape[0]
+    Gx, Gy, Gz = dims
+    cap = cell_cap
+
+    rel = (query - origin) / cell_size
+    ijk = jnp.floor(rel).astype(jnp.int32)
+    frac = rel - ijk
+    base = ijk - (frac < 0.5).astype(jnp.int32)   # block corner cell
+
+    offs = jnp.asarray(
+        [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+        jnp.int32)                                 # [8,3]
+    n_ijk = base[:, None, :] + offs[None, :, :]    # [Q,8,3]
+    ok = (jnp.all(n_ijk >= 0, axis=-1)
+          & (n_ijk[..., 0] < Gx) & (n_ijk[..., 1] < Gy) & (n_ijk[..., 2] < Gz))
+    n_cell = (n_ijk[..., 0] * Gy + n_ijk[..., 1]) * Gz + n_ijk[..., 2]
+    n_cell = jnp.where(ok, n_cell, 0)
+
+    rows = packed[n_cell]                          # [Q, 8, 4*cap]
+    rows = rows.reshape(Q, 8, 4, cap)
+    cx = rows[:, :, 0, :].reshape(Q, 8 * cap)
+    cy = rows[:, :, 1, :].reshape(Q, 8 * cap)
+    cz = rows[:, :, 2, :].reshape(Q, 8 * cap)
+    valid = rows[:, :, 3, :].reshape(Q, 8 * cap) > 0.5
+    valid = valid & jnp.repeat(ok, cap, axis=1)
+
+    dx = query[:, 0:1] - cx
+    dy = query[:, 1:2] - cy
+    dz = query[:, 2:3] - cz
+    d2 = dx * dx + dy * dy + dz * dz
+    d2 = jnp.where(valid, d2, _BIG)
+
+    vals, pos = _topk_small(d2, k)
+    nn = jnp.stack([
+        jnp.take_along_axis(cx, pos, axis=1),
+        jnp.take_along_axis(cy, pos, axis=1),
+        jnp.take_along_axis(cz, pos, axis=1),
+    ], axis=-1)
+    return vals, nn
+
+
+def make_oct_grid_knn(packed, origin, cell_size, *, dims, cell_cap,
+                      k: int = 5):
+    return lambda q: grid_knn_oct(q, packed, origin, cell_size, dims=dims,
+                                  cell_cap=cell_cap, k=k)
+
+
+def grid_overflow_fraction(pts, mask, origin, cell_size, *, dims, cell_cap):
+    """Diagnostic: fraction of in-grid points dropped by cell_cap overflow."""
+    M = pts.shape[0]
+    Gx, Gy, Gz = dims
+    n_cells = Gx * Gy * Gz
+    ijk = jnp.floor((pts - origin) / cell_size).astype(jnp.int32)
+    in_grid = (mask & jnp.all(ijk >= 0, axis=-1)
+               & (ijk[:, 0] < Gx) & (ijk[:, 1] < Gy) & (ijk[:, 2] < Gz))
+    cell = jnp.where(in_grid,
+                     (ijk[:, 0] * Gy + ijk[:, 1]) * Gz + ijk[:, 2], n_cells)
+    counts = jnp.zeros((n_cells + 1,), jnp.int32).at[cell].add(1)[:-1]
+    dropped = jnp.sum(jnp.maximum(counts - cell_cap, 0))
+    total = jnp.maximum(jnp.sum(in_grid), 1)
+    return dropped / total

@@ -544,12 +544,14 @@ def register_scan_fast_grid(
     )
 
 
-@partial(jax.jit, static_argnames=("half_extent", "cell_size", "cell_cap",
+@partial(jax.jit, static_argnames=("half_extent", "cell_size",
+                                   "corner_cell_cap", "surf_cell_cap",
                                    "max_iterations", "min_correspondences",
                                    "edge_min_valid", "surf_min_valid"))
 def grid_register_step(local_map: FeatureMap, features: ScanFeatures, pose6,
-                       *, half_extent, cell_size: float = 1.0,
-                       cell_cap: int = 16, max_iterations: int = 30,
+                       *, half_extent, cell_size: float = 2.0,
+                       corner_cell_cap: int = 16, surf_cell_cap: int = 64,
+                       max_iterations: int = 30,
                        min_correspondences: int = 50, edge_min_valid: int = 10,
                        surf_min_valid: int = 100) -> RegisterResult:
     """Hash-grid build + scan-to-map solve as ONE jitted step.
@@ -566,23 +568,23 @@ def grid_register_step(local_map: FeatureMap, features: ScanFeatures, pose6,
     he = jnp.asarray(half_extent, jnp.float32)
     dims = default_grid_spec(half_extent, cell_size)
     origin = grid_origin(pose6[3:6], he)
-    from .hashgrid import make_packed_grid_knn
+    from .hashgrid import make_oct_grid_knn
 
     ctab = build_grid_packed_core(local_map.corner_xyz, local_map.corner_mask,
                                   origin, cell_size, dims=dims,
-                                  cell_cap=cell_cap)
+                                  cell_cap=corner_cell_cap)
     stab = build_grid_packed_core(local_map.surf_xyz, local_map.surf_mask,
                                   origin, cell_size, dims=dims,
-                                  cell_cap=cell_cap)
+                                  cell_cap=surf_cell_cap)
     iters_per_round = 10
     num_rounds = max(1, (max_iterations + iters_per_round - 1)
                      // iters_per_round)
     return register_rounds_core(
         features,
-        make_packed_grid_knn(ctab, origin, cell_size, dims=dims,
-                             cell_cap=cell_cap, k=16),
-        make_packed_grid_knn(stab, origin, cell_size, dims=dims,
-                             cell_cap=cell_cap, k=16),
+        make_oct_grid_knn(ctab, origin, cell_size, dims=dims,
+                          cell_cap=corner_cell_cap, k=16),
+        make_oct_grid_knn(stab, origin, cell_size, dims=dims,
+                          cell_cap=surf_cell_cap, k=16),
         pose6,
         num_rounds=num_rounds,
         iters_per_round=iters_per_round,

@@ -120,8 +120,8 @@ def batch_register_fast(features: ScanFeatures, local_map: FeatureMap,
 
 
 def build_map_grids(local_map: FeatureMap, center, half_extent,
-                    cell_size: float = 1.0, cell_cap: int = 16,
-                    margin: float = 2.0):
+                    cell_size: float = 2.0, corner_cell_cap: int = 16,
+                    surf_cell_cap: int = 64, margin: float = 2.0):
     """Build the corner+surf hash-grid tables for one local map (amortized
     across every scan registered against it).  Returns
     (corner_table, surf_table, origin, dims)."""
@@ -131,9 +131,11 @@ def build_map_grids(local_map: FeatureMap, center, half_extent,
     dims = default_grid_spec(half_extent, cell_size, margin)
     origin = grid_origin(center, half_extent, margin)
     ctab = build_grid_packed(local_map.corner_xyz, local_map.corner_mask,
-                             origin, cell_size, dims=dims, cell_cap=cell_cap)
+                             origin, cell_size, dims=dims,
+                             cell_cap=corner_cell_cap)
     stab = build_grid_packed(local_map.surf_xyz, local_map.surf_mask,
-                             origin, cell_size, dims=dims, cell_cap=cell_cap)
+                             origin, cell_size, dims=dims,
+                             cell_cap=surf_cell_cap)
     return ctab, stab, origin, dims
 
 
@@ -155,28 +157,30 @@ def batch_register_fast_grid(features: ScanFeatures, local_map: FeatureMap,
     return fn(features, init_poses)
 
 
-@partial(jax.jit, static_argnames=("grid_dims", "cell_size", "cell_cap",
+@partial(jax.jit, static_argnames=("grid_dims", "cell_size",
+                                   "corner_cell_cap", "surf_cell_cap",
                                    "num_rounds", "iters_per_round",
                                    "num_candidates"))
 def batch_register_rounds(features: ScanFeatures, corner_packed, surf_packed,
                           origin, init_poses, *, grid_dims,
-                          cell_size: float = 1.0, cell_cap: int = 16,
-                          num_rounds: int = 3, iters_per_round: int = 10,
+                          cell_size: float = 2.0, corner_cell_cap: int = 16,
+                          surf_cell_cap: int = 64,
+                          num_rounds: int = 2, iters_per_round: int = 15,
                           num_candidates: int = 16) -> RegisterResult:
     """vmap of the rounds-structured solve against one shared packed map.
 
     The fastest batched path: R unconditional prefetches per scan (vmap-safe,
     no cond branches), candidate-local GN iterations in between.
     """
-    from ..ops.hashgrid import make_packed_grid_knn
+    from ..ops.hashgrid import make_oct_grid_knn
     from ..ops.register import register_rounds_core
 
-    cfetch = make_packed_grid_knn(corner_packed, origin, cell_size,
-                                  dims=grid_dims, cell_cap=cell_cap,
-                                  k=num_candidates)
-    sfetch = make_packed_grid_knn(surf_packed, origin, cell_size,
-                                  dims=grid_dims, cell_cap=cell_cap,
-                                  k=num_candidates)
+    cfetch = make_oct_grid_knn(corner_packed, origin, cell_size,
+                               dims=grid_dims, cell_cap=corner_cell_cap,
+                               k=num_candidates)
+    sfetch = make_oct_grid_knn(surf_packed, origin, cell_size,
+                               dims=grid_dims, cell_cap=surf_cell_cap,
+                               k=num_candidates)
 
     fn = jax.vmap(
         lambda f, p: register_rounds_core(

@@ -242,75 +242,77 @@ def knn5(query, ref):
 
 
 def corner_coeffs(pts_world, map_pts, d2, idx):
-    """Serial cornerOptimization math (ref: src/mapOptmization.h:1002-1124)."""
+    """cornerOptimization math (ref: src/mapOptmization.h:1002-1124),
+    batched with NumPy f64 (independent of the JAX kernels)."""
     N = pts_world.shape[0]
     coeff = np.zeros((N, 3))
     resid = np.zeros(N)
     mask = np.zeros(N, bool)
-    for i in range(N):
-        if d2[i, 4] >= 1.0:
-            continue
-        nn = map_pts[idx[i]]
-        c = nn.mean(0)
-        A = ((nn - c).T @ (nn - c)) / 5.0
-        w, V = np.linalg.eigh(A)  # ascending
-        if w[2] > 3 * w[1]:
-            x0, y0, z0 = pts_world[i]
-            v = V[:, 2]
-            x1, y1, z1 = c + 0.1 * v
-            x2, y2, z2 = c - 0.1 * v
-            a012 = np.sqrt(
-                ((x0 - x1) * (y0 - y2) - (x0 - x2) * (y0 - y1)) ** 2
-                + ((x0 - x1) * (z0 - z2) - (x0 - x2) * (z0 - z1)) ** 2
-                + ((y0 - y1) * (z0 - z2) - (y0 - y2) * (z0 - z1)) ** 2
-            )
-            l12 = np.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2 + (z1 - z2) ** 2)
-            la = ((y1 - y2) * ((x0 - x1) * (y0 - y2) - (x0 - x2) * (y0 - y1))
-                  + (z1 - z2) * ((x0 - x1) * (z0 - z2) - (x0 - x2) * (z0 - z1))) / a012 / l12
-            lb = -((x1 - x2) * ((x0 - x1) * (y0 - y2) - (x0 - x2) * (y0 - y1))
-                   - (z1 - z2) * ((y0 - y1) * (z0 - z2) - (y0 - y2) * (z0 - z1))) / a012 / l12
-            lc = -((x1 - x2) * ((x0 - x1) * (z0 - z2) - (x0 - x2) * (z0 - z1))
-                   + (y1 - y2) * ((y0 - y1) * (z0 - z2) - (y0 - y2) * (z0 - z1))) / a012 / l12
-            ld2 = a012 / l12
-            s = 1 - 0.9 * abs(ld2)
-            if s > 0.1:
-                coeff[i] = s * np.array([la, lb, lc])
-                resid[i] = s * ld2
-                mask[i] = True
+
+    nn = map_pts[idx].astype(np.float64)                 # [N,5,3]
+    c = nn.mean(1)
+    dev = nn - c[:, None, :]
+    cov = np.einsum("nki,nkj->nij", dev, dev) / 5.0
+    w, V = np.linalg.eigh(cov)                           # ascending
+    line_ok = w[:, 2] > 3 * w[:, 1]
+
+    v = V[:, :, 2]
+    p0 = pts_world.astype(np.float64)
+    p1 = c + 0.1 * v
+    p2 = c - 0.1 * v
+    d01 = p0 - p1
+    d02 = p0 - p2
+    cx = d01[:, 0] * d02[:, 1] - d02[:, 0] * d01[:, 1]
+    cy = d01[:, 0] * d02[:, 2] - d02[:, 0] * d01[:, 2]
+    cz = d01[:, 1] * d02[:, 2] - d02[:, 1] * d01[:, 2]
+    a012 = np.sqrt(cx * cx + cy * cy + cz * cz)
+    d12 = p1 - p2
+    l12 = np.linalg.norm(d12, axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        la = (d12[:, 1] * cx + d12[:, 2] * cy) / a012 / l12
+        lb = -(d12[:, 0] * cx - d12[:, 2] * cz) / a012 / l12
+        lc = -(d12[:, 0] * cy + d12[:, 1] * cz) / a012 / l12
+        ld2 = a012 / l12
+    s_w = 1 - 0.9 * np.abs(ld2)
+    ok = (d2[:, 4] < 1.0) & line_ok & (s_w > 0.1) & (a012 > 1e-12)
+    coeff[ok] = (s_w[:, None] * np.stack([la, lb, lc], -1))[ok]
+    resid[ok] = (s_w * ld2)[ok]
+    mask[ok] = True
     return coeff, resid, mask
 
 
 def surf_coeffs(pts_world, map_pts, d2, idx):
-    """Serial surfOptimization math (ref: src/mapOptmization.h:1126-1215)."""
+    """surfOptimization math (ref: src/mapOptmization.h:1126-1215), batched."""
     N = pts_world.shape[0]
     coeff = np.zeros((N, 3))
     resid = np.zeros(N)
     mask = np.zeros(N, bool)
-    for i in range(N):
-        if d2[i, 4] >= 1.0:
-            continue
-        A = map_pts[idx[i]]
-        b = -np.ones(5)
-        n, *_ = np.linalg.lstsq(A, b, rcond=None)
-        pa, pb, pc = n
-        pd = 1.0
-        ps = np.sqrt(pa * pa + pb * pb + pc * pc)
-        pa, pb, pc, pd = pa / ps, pb / ps, pc / ps, pd / ps
-        ok = True
-        for j in range(5):
-            if abs(pa * A[j, 0] + pb * A[j, 1] + pc * A[j, 2] + pd) > 0.2:
-                ok = False
-                break
-        if not ok:
-            continue
-        x, y, z = pts_world[i]
-        pd2 = pa * x + pb * y + pc * z + pd
-        # s = 1 - 0.9*|pd2| / sqrt(sqrt(|p|))  (ref :1198)
-        s = 1 - 0.9 * abs(pd2) / np.sqrt(np.sqrt(np.sqrt(x * x + y * y + z * z)))
-        if s > 0.1:
-            coeff[i] = s * np.array([pa, pb, pc])
-            resid[i] = s * pd2
-            mask[i] = True
+
+    A = map_pts[idx].astype(np.float64)                  # [N,5,3]
+    b = -np.ones((N, 5))
+    # least squares per point (colPivHouseholderQr equivalent)
+    AtA = np.einsum("nki,nkj->nij", A, A)
+    Atb = np.einsum("nki,nk->ni", A, b)
+    ok_det = np.abs(np.linalg.det(AtA)) > 1e-12
+    # pinv = least-squares solution (colPivHouseholderQr behavior on
+    # rank-deficient fits; those get rejected by the 0.2 m plane gate anyway)
+    n = np.einsum("nij,nj->ni", np.linalg.pinv(AtA), Atb)
+
+    ps = np.linalg.norm(n, axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pa, pb, pc = (n / np.where(ps > 1e-12, ps, 1)[:, None]).T
+        pd = 1.0 / np.where(ps > 1e-12, ps, 1)
+    plane_res = np.abs(pa[:, None] * A[:, :, 0] + pb[:, None] * A[:, :, 1]
+                       + pc[:, None] * A[:, :, 2] + pd[:, None])
+    plane_ok = (plane_res <= 0.2).all(1) & ok_det & (ps > 1e-12)
+
+    x, y, z = pts_world[:, 0], pts_world[:, 1], pts_world[:, 2]
+    pd2 = pa * x + pb * y + pc * z + pd
+    s_w = 1 - 0.9 * np.abs(pd2) / np.sqrt(np.sqrt(np.sqrt(x * x + y * y + z * z)))
+    ok = (d2[:, 4] < 1.0) & plane_ok & (s_w > 0.1)
+    coeff[ok] = (s_w[:, None] * np.stack([pa, pb, pc], -1))[ok]
+    resid[ok] = (s_w * pd2)[ok]
+    mask[ok] = True
     return coeff, resid, mask
 
 
@@ -324,23 +326,20 @@ def lm_step(pose, pts_lidar, coeff, resid, iter_count, state):
     n = pts_lidar.shape[0]
     if n < 50:
         return pose, False, state
-    A = np.zeros((n, 6), np.float32)
-    B = np.zeros((n,), np.float32)
-    for i in range(n):
-        px, py, pz = pts_lidar[i, 1], pts_lidar[i, 2], pts_lidar[i, 0]
-        cx, cy, cz = coeff[i, 1], coeff[i, 2], coeff[i, 0]
-        arx = ((crx * sry * srz * px + crx * crz * sry * py - srx * sry * pz) * cx
-               + (-srx * srz * px - crz * srx * py - crx * pz) * cy
-               + (crx * cry * srz * px + crx * cry * crz * py - cry * srx * pz) * cz)
-        ary = (((cry * srx * srz - crz * sry) * px
-                + (sry * srz + cry * crz * srx) * py + crx * cry * pz) * cx
-               + ((-cry * crz - srx * sry * srz) * px
-                  + (cry * srz - crz * srx * sry) * py - crx * sry * pz) * cz)
-        arz = (((crz * srx * sry - cry * srz) * px + (-cry * crz - srx * sry * srz) * py) * cx
-               + (crx * crz * px - crx * srz * py) * cy
-               + ((sry * srz + cry * crz * srx) * px + (crz * sry - cry * srx * srz) * py) * cz)
-        A[i] = [arz, arx, ary, cz, cx, cy]
-        B[i] = -resid[i]
+    px, py, pz = pts_lidar[:, 1], pts_lidar[:, 2], pts_lidar[:, 0]
+    cx, cy, cz = coeff[:, 1], coeff[:, 2], coeff[:, 0]
+    arx = ((crx * sry * srz * px + crx * crz * sry * py - srx * sry * pz) * cx
+           + (-srx * srz * px - crz * srx * py - crx * pz) * cy
+           + (crx * cry * srz * px + crx * cry * crz * py - cry * srx * pz) * cz)
+    ary = (((cry * srx * srz - crz * sry) * px
+            + (sry * srz + cry * crz * srx) * py + crx * cry * pz) * cx
+           + ((-cry * crz - srx * sry * srz) * px
+              + (cry * srz - crz * srx * sry) * py - crx * sry * pz) * cz)
+    arz = (((crz * srx * sry - cry * srz) * px + (-cry * crz - srx * sry * srz) * py) * cx
+           + (crx * crz * px - crx * srz * py) * cy
+           + ((sry * srz + cry * crz * srx) * px + (crz * sry - cry * srx * srz) * py) * cz)
+    A = np.stack([arz, arx, ary, cz, cx, cy], -1).astype(np.float64)
+    B = (-resid).astype(np.float64)
 
     AtA = A.T @ A
     AtB = A.T @ B
