@@ -48,8 +48,8 @@ def main():
     from feature_base_pointcloud_registration_tpu.pipeline.frontend import (
         downsample_features)
 
-    B = int(os.environ.get("BENCH_BATCH", "64"))
-    REPS = int(os.environ.get("BENCH_REPS", "5"))
+    B = int(os.environ.get("BENCH_BATCH", "32"))
+    REPS = int(os.environ.get("BENCH_REPS", "10"))
     params = Params(map_corner_cap=16384, map_surf_cap=65536, knn_chunk=4096)
 
     world = SyntheticWorld()
