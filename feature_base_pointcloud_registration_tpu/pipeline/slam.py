@@ -417,6 +417,34 @@ class SlamPipeline:
         self.trajectory.append(self.pose.copy())
         return self.pose
 
+    # -------------------------------------------------------- visualization
+    def global_map_snapshot(self, radius: float | None = None,
+                            leaf: float | None = None):
+        """Radius-filtered, downsampled global feature map snapshot —
+        publishGlobalMap's payload as a NumPy array (ref: src/mapOptmization.h:
+        524-569; the ROS publisher becomes a return value)."""
+        p = self.params
+        radius = radius or p.global_map_visualization_search_radius
+        leaf = leaf or p.global_map_visualization_leaf_size
+        n = self.n_keyframes
+        if n == 0:
+            return np.zeros((0, 3), np.float32)
+        last = self.kf_poses[n - 1, 3:]
+        sel = np.linalg.norm(self.kf_poses[:n, 3:] - last, axis=1) < radius
+        pts = []
+        for k in np.where(sel)[0]:
+            T = np.array(pose6_to_matrix(jnp.asarray(self.kf_poses[k])))
+            for cl, m in ((self.kf_corner[k], self.kf_corner_mask[k]),
+                          (self.kf_surf[k], self.kf_surf_mask[k])):
+                q = cl[m]
+                pts.append(q @ T[:3, :3].T + T[:3, 3])
+        if not pts:
+            return np.zeros((0, 3), np.float32)
+        from .. import native
+
+        return native.voxel_downsample(
+            np.concatenate(pts).astype(np.float32), leaf)
+
     # ------------------------------------------------------------- map save
     def save_map(self, directory: str):
         """PCD checkpoint like visualizeGlobalMapThread's shutdown save

@@ -231,14 +231,21 @@ def voxel_downsample(pts, leaf):
 
 
 # ------------------------------------------------------------- registration
-def knn5(query, ref):
+def knn5(query, ref, chunk=1024):
     q = query.astype(np.float64)
     r = ref.astype(np.float64)
-    d2 = (q * q).sum(-1)[:, None] + (r * r).sum(-1)[None, :] - 2.0 * (q @ r.T)
-    part = np.argpartition(d2, 5, axis=1)[:, :5]
-    dpart = np.take_along_axis(d2, part, 1)
-    order = np.argsort(dpart, axis=1)
-    return np.take_along_axis(dpart, order, 1), np.take_along_axis(part, order, 1)
+    r_norm = (r * r).sum(-1)
+    out_d = np.empty((len(q), 5))
+    out_i = np.empty((len(q), 5), np.int64)
+    for s0 in range(0, len(q), chunk):
+        qc = q[s0:s0 + chunk]
+        d2 = (qc * qc).sum(-1)[:, None] + r_norm[None, :] - 2.0 * (qc @ r.T)
+        part = np.argpartition(d2, 5, axis=1)[:, :5]
+        dpart = np.take_along_axis(d2, part, 1)
+        order = np.argsort(dpart, axis=1)
+        out_d[s0:s0 + chunk] = np.take_along_axis(dpart, order, 1)
+        out_i[s0:s0 + chunk] = np.take_along_axis(part, order, 1)
+    return out_d, out_i
 
 
 def corner_coeffs(pts_world, map_pts, d2, idx):
