@@ -346,3 +346,104 @@ def grid_overflow_fraction(pts, mask, origin, cell_size, *, dims, cell_cap):
     dropped = jnp.sum(jnp.maximum(counts - cell_cap, 0))
     total = jnp.maximum(jnp.sum(in_grid), 1)
     return dropped / total
+
+
+# ---------------------------------------------------------------------------
+# v2 packed layout: 3 coordinate planes only, far-sentinel padding.
+#
+# Invalid slots store FAR (1e9 m): their distances dominate every real
+# candidate, so no validity plane or mask is needed — 25% less gather
+# traffic and fewer VPU ops.  Out-of-grid neighbors index a dedicated
+# all-sentinel row (n_cells).
+# ---------------------------------------------------------------------------
+
+_FAR = jnp.float32(1.0e9)
+
+
+def build_grid_sentinel_core(pts, mask, origin, cell_size, *, dims, cell_cap):
+    """Packed [n_cells+1, 3*cell_cap] planar (x|y|z) table, FAR-padded."""
+    M = pts.shape[0]
+    Gx, Gy, Gz = dims
+    n_cells = Gx * Gy * Gz
+
+    ijk = jnp.floor((pts - origin) / cell_size).astype(jnp.int32)
+    in_grid = (mask
+               & jnp.all(ijk >= 0, axis=-1)
+               & (ijk[:, 0] < Gx) & (ijk[:, 1] < Gy) & (ijk[:, 2] < Gz))
+    cell = jnp.where(in_grid,
+                     (ijk[:, 0] * Gy + ijk[:, 1]) * Gz + ijk[:, 2],
+                     n_cells)
+
+    order = jnp.argsort(cell)
+    cell_s = cell[order]
+    first = jnp.searchsorted(cell_s, cell_s, side="left")
+    rank = jnp.arange(M, dtype=jnp.int32) - first.astype(jnp.int32)
+    keep = (cell_s < n_cells) & (rank < cell_cap)
+    rank_c = jnp.minimum(rank, cell_cap - 1)
+
+    p_sorted = pts[order]
+    base = cell_s * (3 * cell_cap)
+    total = (n_cells + 1) * 3 * cell_cap
+    flat = jnp.full((total + 1,), _FAR, jnp.float32)
+    drop = total
+    for axis in range(3):
+        slot = jnp.where(keep, base + axis * cell_cap + rank_c, drop)
+        flat = flat.at[slot].set(jnp.where(keep, p_sorted[:, axis], _FAR))
+    return flat[:-1].reshape(n_cells + 1, 3 * cell_cap)
+
+
+@partial(jax.jit, static_argnames=("dims", "cell_cap"))
+def build_grid_sentinel(pts, mask, origin, cell_size, *, dims, cell_cap):
+    return build_grid_sentinel_core(pts, mask, origin, cell_size, dims=dims,
+                                    cell_cap=cell_cap)
+
+
+def grid_knn_oct_sentinel(query, packed, origin, cell_size, *, dims,
+                          cell_cap, k: int = 5):
+    """Octant k-NN over the sentinel-padded table (fastest lookup)."""
+    Q = query.shape[0]
+    Gx, Gy, Gz = dims
+    cap = cell_cap
+    n_cells = Gx * Gy * Gz
+
+    rel = (query - origin) / cell_size
+    ijk = jnp.floor(rel).astype(jnp.int32)
+    frac = rel - ijk
+    base = ijk - (frac < 0.5).astype(jnp.int32)
+
+    offs = jnp.asarray(
+        [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+        jnp.int32)
+    n_ijk = base[:, None, :] + offs[None, :, :]
+    ok = (jnp.all(n_ijk >= 0, axis=-1)
+          & (n_ijk[..., 0] < Gx) & (n_ijk[..., 1] < Gy) & (n_ijk[..., 2] < Gz))
+    n_cell = (n_ijk[..., 0] * Gy + n_ijk[..., 1]) * Gz + n_ijk[..., 2]
+    n_cell = jnp.where(ok, n_cell, n_cells)   # sentinel row
+
+    rows = packed[n_cell]                      # [Q, 8, 3*cap]
+    rows = rows.reshape(Q, 8, 3, cap)
+    cx = rows[:, :, 0, :].reshape(Q, 8 * cap)
+    cy = rows[:, :, 1, :].reshape(Q, 8 * cap)
+    cz = rows[:, :, 2, :].reshape(Q, 8 * cap)
+
+    dx = query[:, 0:1] - cx
+    dy = query[:, 1:2] - cy
+    dz = query[:, 2:3] - cz
+    d2 = dx * dx + dy * dy + dz * dz          # sentinels -> ~1e18
+
+    vals, pos = _topk_small(d2, k)
+    nn = jnp.stack([
+        jnp.take_along_axis(cx, pos, axis=1),
+        jnp.take_along_axis(cy, pos, axis=1),
+        jnp.take_along_axis(cz, pos, axis=1),
+    ], axis=-1)
+    # report sentinel hits as BIG so downstream validity gates (d2 < 1e37
+    # for candidate masks, < 1.0 for correspondence) behave unchanged
+    vals = jnp.where(vals > 1e17, _BIG, vals)
+    return vals, nn
+
+
+def make_oct_sentinel_knn(packed, origin, cell_size, *, dims, cell_cap,
+                          k: int = 5):
+    return lambda q: grid_knn_oct_sentinel(q, packed, origin, cell_size,
+                                           dims=dims, cell_cap=cell_cap, k=k)

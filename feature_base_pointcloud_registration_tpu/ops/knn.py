@@ -11,9 +11,8 @@ with a running top-k merge across chunks (lax.scan), so HBM holds only the
 padded map and one [Q, C] distance buffer — the moral equivalent of
 blockwise attention's online reduction (SURVEY.md §5 "long-context" note).
 
-Top-k is k iterative min-extractions (argmin + scatter), not lax.top_k: a
-full per-row sort of [Q, C] is orders of magnitude more expensive on the VPU
-than k reduction passes for k = 5.
+This brute-force path is the exactness reference and the map-sharded SPMD
+building block; the production hot path uses ops.hashgrid (octant lookup).
 
 Returned distances are exact squared distances; padded/masked map points get
 +inf and can never enter the top-k (their indices are still in range).
@@ -74,9 +73,15 @@ def knn(query, ref, ref_mask, k: int = 5, chunk: int = 4096):
 
     q_norm = jnp.sum(query * query, axis=-1, keepdims=True)  # [Q,1]
 
+    def _exact_topk(d2, kk):
+        # lax.top_k: exact, fast on CPU (partial sort) and acceptable on TPU
+        # for this verification/fallback path (the hot path uses ops.hashgrid)
+        neg, idx = lax.top_k(-d2, kk)
+        return -neg, idx.astype(jnp.int32)
+
     if n_chunks == 1:
         d2 = _chunk_d2(query, q_norm, ref, ref_mask)
-        return _extract_topk(d2, k)
+        return _exact_topk(d2, k)
 
     ref_c = ref.reshape(n_chunks, chunk, 3)
     mask_c = ref_mask.reshape(n_chunks, chunk)
@@ -92,7 +97,7 @@ def knn(query, ref, ref_mask, k: int = 5, chunk: int = 4096):
         best_d, best_i = carry
         pts, msk, base = xs
         d2 = _chunk_d2(query, q_norm, pts, msk)
-        cd, ci = _extract_topk(d2, k)
+        cd, ci = _exact_topk(d2, k)
         ci = ci + base
         # merge running best with this chunk's top-k (2k columns: trivial)
         cand_d = jnp.concatenate([best_d, cd], axis=1)

@@ -562,29 +562,29 @@ def grid_register_step(local_map: FeatureMap, features: ScanFeatures, pose6,
     src/mapOptmization.h:286) since correspondences farther than that can't
     exist after the crop anyway.
     """
-    from .hashgrid import (build_grid_packed_core, default_grid_spec,
+    from .hashgrid import (build_grid_sentinel_core, default_grid_spec,
                            grid_origin)
 
     he = jnp.asarray(half_extent, jnp.float32)
     dims = default_grid_spec(half_extent, cell_size)
     origin = grid_origin(pose6[3:6], he)
-    from .hashgrid import make_oct_grid_knn
+    from .hashgrid import make_oct_sentinel_knn
 
-    ctab = build_grid_packed_core(local_map.corner_xyz, local_map.corner_mask,
-                                  origin, cell_size, dims=dims,
-                                  cell_cap=corner_cell_cap)
-    stab = build_grid_packed_core(local_map.surf_xyz, local_map.surf_mask,
-                                  origin, cell_size, dims=dims,
-                                  cell_cap=surf_cell_cap)
+    ctab = build_grid_sentinel_core(local_map.corner_xyz,
+                                    local_map.corner_mask, origin, cell_size,
+                                    dims=dims, cell_cap=corner_cell_cap)
+    stab = build_grid_sentinel_core(local_map.surf_xyz, local_map.surf_mask,
+                                    origin, cell_size, dims=dims,
+                                    cell_cap=surf_cell_cap)
     iters_per_round = 10
     num_rounds = max(1, (max_iterations + iters_per_round - 1)
                      // iters_per_round)
     return register_rounds_core(
         features,
-        make_oct_grid_knn(ctab, origin, cell_size, dims=dims,
-                          cell_cap=corner_cell_cap, k=16),
-        make_oct_grid_knn(stab, origin, cell_size, dims=dims,
-                          cell_cap=surf_cell_cap, k=16),
+        make_oct_sentinel_knn(ctab, origin, cell_size, dims=dims,
+                              cell_cap=corner_cell_cap, k=16),
+        make_oct_sentinel_knn(stab, origin, cell_size, dims=dims,
+                              cell_cap=surf_cell_cap, k=16),
         pose6,
         num_rounds=num_rounds,
         iters_per_round=iters_per_round,

