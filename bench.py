@@ -42,7 +42,7 @@ def main():
     from feature_base_pointcloud_registration_tpu.ops.projection import (
         project_scan)
     from feature_base_pointcloud_registration_tpu.parallel.batch import (
-        batch_register_rounds, build_map_grids)
+        batch_register_blocks, build_map_block_tables)
     from feature_base_pointcloud_registration_tpu.pipeline.cloud_info import (
         FeatureMap, RawScan)
     from feature_base_pointcloud_registration_tpu.pipeline.frontend import (
@@ -88,10 +88,10 @@ def main():
                       np.float32)
     half = np.array([world.half_x + 1, world.half_y + 1,
                      (world.ceil_z - world.ground_z) / 2 + 1], np.float32)
-    ctab, stab, origin, dims = build_map_grids(fmap, center, half)
+    ctab, stab, origin, dims = build_map_block_tables(fmap, center, half)
 
     def run():
-        return batch_register_rounds(
+        return batch_register_blocks(
             feats, ctab, stab, origin, guesses_j, grid_dims=dims)
 
     # warmup/compile

@@ -447,3 +447,94 @@ def make_oct_sentinel_knn(packed, origin, cell_size, *, dims, cell_cap,
                           k: int = 5):
     return lambda q: grid_knn_oct_sentinel(q, packed, origin, cell_size,
                                            dims=dims, cell_cap=cell_cap, k=k)
+
+
+# ---------------------------------------------------------------------------
+# Block table: one row per block corner holding the full 2x2x2 candidate set.
+#
+# The octant fetch costs 8 medium row-gathers per query; duplicating each
+# cell's data into its 8 enclosing blocks (one-time, amortized over the map
+# lifetime) turns the fetch into ONE contiguous multi-KB row gather per
+# query — the layout XLA's TPU gather handles at near-bandwidth.
+# Memory: 8x the sentinel table (tens of MB for local-map sizes).
+# ---------------------------------------------------------------------------
+
+
+def build_block_table_core(sentinel_table, *, dims, cell_cap):
+    """[n_cells+1, 3*cap] sentinel table -> [n_cells+1, 8*3*cap] block rows.
+
+    Row b = concat of rows {b + (dx,dy,dz)} for dx,dy,dz in {0,1}; block
+    corners whose neighbors fall outside the grid take the sentinel row.
+    The extra row (index n_cells) is all-sentinel for out-of-grid queries.
+    """
+    Gx, Gy, Gz = dims
+    n_cells = Gx * Gy * Gz
+    row_w = sentinel_table.shape[1]          # 3*cap
+
+    cid = jnp.arange(n_cells, dtype=jnp.int32)
+    cx = cid // (Gy * Gz)
+    cy = (cid // Gz) % Gy
+    cz = cid % Gz
+
+    rows = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                nx, ny, nz = cx + dx, cy + dy, cz + dz
+                ok = (nx < Gx) & (ny < Gy) & (nz < Gz)
+                nc = jnp.where(ok, (nx * Gy + ny) * Gz + nz, n_cells)
+                rows.append(sentinel_table[nc])          # [n_cells, row_w]
+    block = jnp.concatenate(rows, axis=1)                # [n_cells, 8*row_w]
+    sent_row = jnp.full((1, 8 * row_w), _FAR, sentinel_table.dtype)
+    return jnp.concatenate([block, sent_row], axis=0)
+
+
+@partial(jax.jit, static_argnames=("dims", "cell_cap"))
+def build_block_table(sentinel_table, *, dims, cell_cap):
+    return build_block_table_core(sentinel_table, dims=dims,
+                                  cell_cap=cell_cap)
+
+
+def grid_knn_block(query, block_table, origin, cell_size, *, dims, cell_cap,
+                   k: int = 5):
+    """Octant k-NN via one block-row gather per query (fastest fetch)."""
+    Q = query.shape[0]
+    Gx, Gy, Gz = dims
+    cap = cell_cap
+    n_cells = Gx * Gy * Gz
+
+    rel = (query - origin) / cell_size
+    ijk = jnp.floor(rel).astype(jnp.int32)
+    frac = rel - ijk
+    base = ijk - (frac < 0.5).astype(jnp.int32)
+    ok = (jnp.all(base >= 0, axis=-1)
+          & (base[:, 0] < Gx) & (base[:, 1] < Gy) & (base[:, 2] < Gz))
+    bcell = jnp.where(ok,
+                      (base[:, 0] * Gy + base[:, 1]) * Gz + base[:, 2],
+                      n_cells)
+
+    rows = block_table[bcell]                       # [Q, 8*3*cap] one gather
+    rows = rows.reshape(Q, 8, 3, cap)
+    cx = rows[:, :, 0, :].reshape(Q, 8 * cap)
+    cy = rows[:, :, 1, :].reshape(Q, 8 * cap)
+    cz = rows[:, :, 2, :].reshape(Q, 8 * cap)
+
+    dx = query[:, 0:1] - cx
+    dy = query[:, 1:2] - cy
+    dz = query[:, 2:3] - cz
+    d2 = dx * dx + dy * dy + dz * dz
+
+    vals, pos = _topk_small(d2, k)
+    nn = jnp.stack([
+        jnp.take_along_axis(cx, pos, axis=1),
+        jnp.take_along_axis(cy, pos, axis=1),
+        jnp.take_along_axis(cz, pos, axis=1),
+    ], axis=-1)
+    vals = jnp.where(vals > 1e17, _BIG, vals)
+    return vals, nn
+
+
+def make_block_grid_knn(block_table, origin, cell_size, *, dims, cell_cap,
+                        k: int = 5):
+    return lambda q: grid_knn_block(q, block_table, origin, cell_size,
+                                    dims=dims, cell_cap=cell_cap, k=k)

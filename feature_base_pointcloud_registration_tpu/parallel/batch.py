@@ -189,3 +189,54 @@ def batch_register_rounds(features: ScanFeatures, corner_packed, surf_packed,
         in_axes=(0, 0),
     )
     return fn(features, init_poses)
+
+
+def build_map_block_tables(local_map: FeatureMap, center, half_extent,
+                           cell_size: float = 2.0, corner_cell_cap: int = 16,
+                           surf_cell_cap: int = 64, margin: float = 2.0):
+    """Block-table variant of build_map_grids: one contiguous row per 2x2x2
+    block (8x memory, single-gather fetch)."""
+    from ..ops.hashgrid import (build_block_table, build_grid_sentinel,
+                                default_grid_spec, grid_origin)
+
+    dims = default_grid_spec(half_extent, cell_size, margin)
+    origin = grid_origin(center, half_extent, margin)
+    cst = build_grid_sentinel(local_map.corner_xyz, local_map.corner_mask,
+                              origin, cell_size, dims=dims,
+                              cell_cap=corner_cell_cap)
+    sst = build_grid_sentinel(local_map.surf_xyz, local_map.surf_mask,
+                              origin, cell_size, dims=dims,
+                              cell_cap=surf_cell_cap)
+    cbt = build_block_table(cst, dims=dims, cell_cap=corner_cell_cap)
+    sbt = build_block_table(sst, dims=dims, cell_cap=surf_cell_cap)
+    return cbt, sbt, origin, dims
+
+
+@partial(jax.jit, static_argnames=("grid_dims", "cell_size",
+                                   "corner_cell_cap", "surf_cell_cap",
+                                   "num_rounds", "iters_per_round",
+                                   "num_candidates"))
+def batch_register_blocks(features: ScanFeatures, corner_block, surf_block,
+                          origin, init_poses, *, grid_dims,
+                          cell_size: float = 2.0, corner_cell_cap: int = 16,
+                          surf_cell_cap: int = 64,
+                          num_rounds: int = 2, iters_per_round: int = 15,
+                          num_candidates: int = 16) -> RegisterResult:
+    """Fastest batched path: block-table fetch + rounds-structured solve."""
+    from ..ops.hashgrid import make_block_grid_knn
+    from ..ops.register import register_rounds_core
+
+    cfetch = make_block_grid_knn(corner_block, origin, cell_size,
+                                 dims=grid_dims, cell_cap=corner_cell_cap,
+                                 k=num_candidates)
+    sfetch = make_block_grid_knn(surf_block, origin, cell_size,
+                                 dims=grid_dims, cell_cap=surf_cell_cap,
+                                 k=num_candidates)
+
+    fn = jax.vmap(
+        lambda f, p: register_rounds_core(
+            f, cfetch, sfetch, p,
+            num_rounds=num_rounds, iters_per_round=iters_per_round),
+        in_axes=(0, 0),
+    )
+    return fn(features, init_poses)

@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(__file__))
 import pytest  # noqa: E402
 
 
-@pytest.fixture(autouse=True, scope="module")
+@pytest.fixture(scope="module")
 def _clear_jax_caches_between_modules():
     """Workaround for a jax-0.9 executable-cache collision: two distinct
     jitted entry points whose traces share inner jaxprs can hit each other's
