@@ -18,17 +18,3 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(__file__))
 
-
-import pytest  # noqa: E402
-
-
-@pytest.fixture(scope="module")
-def _clear_jax_caches_between_modules():
-    """Workaround for a jax-0.9 executable-cache collision: two distinct
-    jitted entry points whose traces share inner jaxprs can hit each other's
-    compiled executables ("Execution supplied N buffers but compiled program
-    expected M").  Clearing caches between test modules keeps every module's
-    compilations isolated (production code avoids the collision by routing
-    all registration through one shared jitted step)."""
-    yield
-    jax.clear_caches()
