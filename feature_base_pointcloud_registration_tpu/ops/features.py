@@ -90,11 +90,22 @@ def _sector_bounds(start_idx, end_idx, j):
     return sp, ep
 
 
-def _ring_pick(ring_window, sector_cap, edge_threshold, surf_threshold):
+def _ring_pick(ring_window, sector_cap, edge_threshold, surf_threshold,
+               strict: bool = True, corner_stream_cap: int = 128):
     """Greedy feature picking for one ring.
 
     ring_window: dict of per-ring local arrays (size W) + scalars.
     Returns (label [W] int8, surf_sector_mask [W] bool).
+
+    strict=True reproduces the reference's full corner+surf candidate stream
+    (12*sector_cap sequential steps).  strict=False is the fast mode: only
+    the top `corner_stream_cap` (128) curvature candidates per sector go through
+    the serial corner pass (the reference picks <= 20 and only examines the
+    descending tail anyway), and the surf pass is dropped entirely — its
+    label is irrelevant to the surface output (everything label <= 0 is
+    gathered, picked or not, ref :279-284); the only thing lost is the surf
+    picks' +-5 suppression marks, which can suppress a later-sector corner
+    candidate in rare boundary cases.  ~10x fewer sequential steps.
     """
     curv = ring_window["curv"]
     col = ring_window["col"]
@@ -125,22 +136,33 @@ def _ring_pick(ring_window, sector_cap, edge_threshold, surf_threshold):
 
     # ---- build the serialized candidate stream ----
     # per sector: corner phase = slots CAP-1..0 (descending curvature,
-    # ref :208), then surf phase = slots 0..CAP-1 (ascending, ref :245).
+    # ref :208), then (strict mode) surf phase = slots 0..CAP-1 (ref :245).
     rev = jnp.flip(jnp.arange(CAP, dtype=jnp.int32))
     fwd = jnp.arange(CAP, dtype=jnp.int32)
-    stream_pos = jnp.concatenate(
-        [jnp.concatenate([tab_pos[j][rev], tab_pos[j][fwd]]) for j in range(6)]
-    )
-    stream_val = jnp.concatenate(
-        [jnp.concatenate([tab_val[j][rev], tab_val[j][fwd]]) for j in range(6)]
-    )
-    stream_valid = jnp.concatenate(
-        [jnp.concatenate([tab_valid[j][rev], tab_valid[j][fwd]]) for j in range(6)]
-    )
-    n_steps = 12 * CAP
-    step_idx = jnp.arange(n_steps, dtype=jnp.int32)
-    is_corner = (step_idx // CAP) % 2 == 0
-    sector_start = step_idx % (2 * CAP) == 0
+    if strict:
+        stream_pos = jnp.concatenate(
+            [jnp.concatenate([tab_pos[j][rev], tab_pos[j][fwd]])
+             for j in range(6)])
+        stream_val = jnp.concatenate(
+            [jnp.concatenate([tab_val[j][rev], tab_val[j][fwd]])
+             for j in range(6)])
+        stream_valid = jnp.concatenate(
+            [jnp.concatenate([tab_valid[j][rev], tab_valid[j][fwd]])
+             for j in range(6)])
+        n_steps = 12 * CAP
+        step_idx = jnp.arange(n_steps, dtype=jnp.int32)
+        is_corner = (step_idx // CAP) % 2 == 0
+        sector_start = step_idx % (2 * CAP) == 0
+    else:
+        CC = min(corner_stream_cap, CAP)
+        top = rev[:CC]  # highest-curvature CC slots, descending
+        stream_pos = jnp.concatenate([tab_pos[j][top] for j in range(6)])
+        stream_val = jnp.concatenate([tab_val[j][top] for j in range(6)])
+        stream_valid = jnp.concatenate([tab_valid[j][top] for j in range(6)])
+        n_steps = 6 * CC
+        step_idx = jnp.arange(n_steps, dtype=jnp.int32)
+        is_corner = jnp.ones((n_steps,), bool)
+        sector_start = step_idx % CC == 0
 
     def body(carry, xs):
         picked, label, ccount = carry
@@ -193,10 +215,10 @@ def _ring_pick(ring_window, sector_cap, edge_threshold, surf_threshold):
 
 
 @partial(jax.jit, static_argnames=("n_scan", "horizon_scan", "sector_cap",
-                                   "corner_cap", "surf_cap"))
+                                   "corner_cap", "surf_cap", "strict"))
 def _extract_features_impl(cloud: CloudInfo, edge_threshold, surf_threshold,
                            surf_leaf, *, n_scan, horizon_scan, sector_cap,
-                           corner_cap, surf_cap):
+                           corner_cap, surf_cap, strict=True):
     P = cloud.point_range.shape[0]
     num = cloud.num_points
 
@@ -236,7 +258,8 @@ def _extract_features_impl(cloud: CloudInfo, edge_threshold, surf_threshold,
     windows = jax.vmap(gather_window)(jnp.arange(n_scan))
 
     label, surf_span = jax.vmap(
-        lambda w: _ring_pick(w, sector_cap, edge_threshold, surf_threshold)
+        lambda w: _ring_pick(w, sector_cap, edge_threshold, surf_threshold,
+                             strict=strict)
     )(windows)  # [n_scan, W]
 
     # ---- corner set: label == 1, compacted per ring ----
@@ -267,9 +290,13 @@ def _extract_features_impl(cloud: CloudInfo, edge_threshold, surf_threshold,
     )
 
 
-def extract_features(params: Params, cloud: CloudInfo) -> ScanFeatures:
+def extract_features(params: Params, cloud: CloudInfo,
+                     strict: bool = True) -> ScanFeatures:
     """Full feature extraction (laserCloudInfoHandler body,
-    ref: src/featureExtraction.h:88-103)."""
+    ref: src/featureExtraction.h:88-103).
+
+    strict=False enables the fast picking stream (see _ring_pick) — ~10x
+    fewer sequential steps with near-identical feature sets."""
     return _extract_features_impl(
         cloud,
         jnp.float32(params.edge_threshold),
@@ -280,4 +307,5 @@ def extract_features(params: Params, cloud: CloudInfo) -> ScanFeatures:
         sector_cap=params.sector_cap,
         corner_cap=params.corner_cap,
         surf_cap=params.surf_cap,
+        strict=strict,
     )

@@ -67,3 +67,21 @@ def test_feature_counts_sane():
     assert n_surf > PARAMS.surf_feature_min_valid_num
     assert n_corner <= PARAMS.corner_cap
     assert n_surf <= PARAMS.surf_cap
+
+
+def test_fast_picking_matches_strict():
+    """strict=False truncates the corner stream and drops the surf pass; on
+    realistic scans the feature sets are (near-)identical."""
+    cloud, _ = _cloud()
+    fe = extract_features(PARAMS, cloud, strict=True)
+    ff = extract_features(PARAMS, cloud, strict=False)
+
+    def as_set(x, m):
+        return set(map(tuple, np.round(np.array(x)[np.array(m)], 4)))
+
+    A = as_set(fe.corner_xyz, fe.corner_mask)
+    B = as_set(ff.corner_xyz, ff.corner_mask)
+    assert len(A & B) >= 0.98 * max(len(A), len(B)), (len(A), len(B))
+    SA = as_set(fe.surf_xyz, fe.surf_mask)
+    SB = as_set(ff.surf_xyz, ff.surf_mask)
+    assert len(SA & SB) >= 0.99 * max(len(SA), len(SB))
