@@ -7,6 +7,10 @@ VLP-16 scans against it, printing per-scan poses and timing.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
@@ -40,6 +44,9 @@ def main():
         gm = GlobalMap(cx, cm, sx, sm)
 
     pipe = LocalizationPipeline(params, gm)
+    # localization mode gets a map-frame initial guess, like the reference's
+    # prebuilt-map workflow (the guess then chains scan to scan)
+    pipe.pose = np.array([0, 0, 0.0, -2.0, -1.0, 0.0], np.float32)
     st = StageTimer()
     for k in range(args.scans):
         gt = np.array([0, 0, 0.05 * k, 0.3 * k - 2.0, 0.15 * k - 1.0, 0.0],

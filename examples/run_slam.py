@@ -6,6 +6,10 @@ keyframes and factor-graph optimization, saving the PCD map at the end
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
