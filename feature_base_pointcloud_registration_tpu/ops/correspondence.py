@@ -10,8 +10,8 @@ solve.  All accept/reject gates become masks:
   corner: 5th-NN d2 < 1.0 (ref :1027), line test l0 > 3*l1 (ref :1063),
           weight s = 1 - 0.9*|ld2| > 0.1 (ref :1106,1115)
   surf:   5th-NN d2 < 1.0 (ref :1154), plane residual <= 0.2 m for all 5
-          neighbors (ref :1184-1189), s = 1 - 0.9*|pd2|/sqrt(sqrt(|p|)) > 0.1
-          (ref :1198,1207)
+          neighbors (ref :1184-1189), s = 1 - 0.9*|pd2|/sqrt(||p||) > 0.1
+          (ref :1198,1207 — sqrt(sqrt(squared norm)))
 
 Outputs per query point: unit-direction coefficients scaled by s (the
 Jacobian w.r.t. the point), weighted residual, validity mask — exactly the
@@ -110,8 +110,10 @@ def surf_correspondence(pts_world, valid, knn_fn):
     plane_valid = jnp.all(plane_res <= 0.2, axis=1) & ok_det & (ps > 1e-12)
 
     pd2 = pa * pts_world[:, 0] + pb * pts_world[:, 1] + pc * pts_world[:, 2] + pd
-    pnorm = jnp.sqrt(jnp.sum(pts_world * pts_world, axis=-1))
-    s = 1.0 - 0.9 * jnp.abs(pd2) / jnp.sqrt(jnp.sqrt(jnp.maximum(pnorm, 1e-12)))
+    # ref :1198: s = 1 - 0.9*|pd2| / sqrt(sqrt(x*x+y*y+z*z)) — the inner
+    # argument is the SQUARED norm, so the divisor is ||p||^(1/2).
+    sumsq = jnp.sum(pts_world * pts_world, axis=-1)
+    s = 1.0 - 0.9 * jnp.abs(pd2) / jnp.sqrt(jnp.sqrt(jnp.maximum(sumsq, 1e-12)))
 
     mask = gate_nn & plane_valid & (s > 0.1)
     coeff = s[:, None] * jnp.stack([pa, pb, pc], axis=-1)

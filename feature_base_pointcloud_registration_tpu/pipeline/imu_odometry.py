@@ -60,6 +60,7 @@ class ImuOdometry:
         self.last_imu_t_opt = -1.0
         self.que_opt: List[Tuple[float, np.ndarray, np.ndarray]] = []
         self.que_imu: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        self._pending: List[Tuple[float, np.ndarray, np.ndarray]] = []
 
         self.prev_nav = NavState.identity()
         self.prev_ba = jnp.zeros(3, jnp.float32)
@@ -82,32 +83,53 @@ class ImuOdometry:
 
     # ------------------------------------------------------------------ imu
     def handle_imu(self, t: float, acc, gyr):
-        """Queue one (lidar-frame) IMU sample; returns a predicted lidar-frame
-        pose6 + velocity if the system has completed its first optimization
-        (imuHandler, ref :413-476), else None."""
+        """Queue one (lidar-frame) IMU sample (imuHandler intake, ref
+        :413-430).  Prediction is deferred: the reference publishes IMU-rate
+        odometry per sample (a few flops on CPU); on TPU a device dispatch per
+        100-500 Hz sample is the wrong grain, so samples buffer here and
+        `flush_imu_odometry()` propagates the whole pending chunk in ONE
+        `propagate_states` call (typically once per scan interval)."""
         acc = np.asarray(acc, np.float32)
         gyr = np.asarray(gyr, np.float32)
         self.que_opt.append((t, acc, gyr))
         self.que_imu.append((t, acc, gyr))
-        if not self.done_first_opt:
-            return None
-        dt = (1.0 / 500.0) if self.last_imu_t_imu < 0 else t - self.last_imu_t_imu
-        self.last_imu_t_imu = t
+        self._pending.append((t, acc, gyr))
 
-        states = propagate_states(
+    def flush_imu_odometry(self):
+        """Propagate all pending IMU samples in one batched call.
+
+        Returns (pose6 [n,6], vel [n,3]) — the lidar-frame IMU-rate odometry
+        stream for every pending sample (imuHandler predict+publish, ref
+        :440-476) — or None if the system hasn't completed its first
+        optimization or nothing is pending."""
+        if not self.done_first_opt or not self._pending:
+            return None
+        ts = np.array([s[0] for s in self._pending])
+        accs = np.stack([s[1] for s in self._pending])
+        gyrs = np.stack([s[2] for s in self._pending])
+        anchor = (ts[0] - 1.0 / 500.0 if self.last_imu_t_imu < 0
+                  else self.last_imu_t_imu)
+        dts = np.diff(np.concatenate([[anchor], ts])).astype(np.float32)
+        n = len(ts)
+        self._pending = []
+        self.last_imu_t_imu = float(ts[-1])
+
+        navs = propagate_states(
             self.prev_nav_odom, self.prev_ba_odom, self.prev_bg_odom,
-            jnp.asarray(acc[None]), jnp.asarray(gyr[None]),
-            jnp.asarray([dt], jnp.float32), jnp.asarray([True]),
-            gravity=self.params.imu_gravity)
-        nav = jax.tree.map(lambda a: a[0], states)
-        self.prev_nav_odom = nav
+            jnp.asarray(accs), jnp.asarray(gyrs), jnp.asarray(dts),
+            jnp.ones(n, bool), gravity=self.params.imu_gravity)
+        self.prev_nav_odom = jax.tree.map(lambda a: a[-1], navs)
 
         # imu pose -> lidar pose via extrinsic translation (ref :457-458)
-        r, p_, y = rot_to_euler(nav.R)
-        t_l = np.array(nav.p) - np.array(nav.R) @ self.lidar2imu
-        pose6 = np.array([float(r), float(p_), float(y),
-                          t_l[0], t_l[1], t_l[2]], np.float32)
-        return pose6, np.array(nav.v)
+        R = np.asarray(navs.R)                              # [n,3,3]
+        p_imu = np.asarray(navs.p)
+        t_l = p_imu - np.einsum("nij,j->ni", R, self.lidar2imu)
+        rpy = np.stack([
+            np.arctan2(R[:, 2, 1], R[:, 2, 2]),
+            np.arcsin(np.clip(-R[:, 2, 0], -1.0, 1.0)),
+            np.arctan2(R[:, 1, 0], R[:, 0, 0])], axis=-1)
+        pose6 = np.concatenate([rpy, t_l], axis=-1).astype(np.float32)
+        return pose6, np.asarray(navs.v)
 
     # ------------------------------------------------------- lidar odometry
     def handle_odometry(self, t: float, lidar_pose6, reset_id: int = 0):
@@ -190,15 +212,25 @@ class ImuOdometry:
         self.prev_nav_odom = self.prev_nav
         self.prev_ba_odom = self.prev_ba
         self.prev_bg_odom = self.prev_bg
+        # lastImuQT = timestamp of the last sample dropped as pre-correction
+        # (ref :355-359); first re-propagated dt falls back to 1/500 only
+        # when no such sample exists (ref :373).
         last_q = -1.0
-        self.que_imu = [s for s in self.que_imu if s[0] >= t]
+        kept = []
+        for s in self.que_imu:
+            if s[0] < t:
+                last_q = s[0]
+            else:
+                kept.append(s)
+        self.que_imu = kept
+        self._pending = []  # superseded: samples >= t re-propagate below
         if self.que_imu:
             n2 = len(self.que_imu)
             accs = np.stack([s[1] for s in self.que_imu])
             gyrs = np.stack([s[2] for s in self.que_imu])
             ts = np.array([s[0] for s in self.que_imu])
-            dts = np.diff(np.concatenate([[t], ts])).astype(np.float32)
-            dts[0] = 1.0 / 500.0 if last_q < 0 else dts[0]
+            anchor = ts[0] - 1.0 / 500.0 if last_q < 0 else last_q
+            dts = np.diff(np.concatenate([[anchor], ts])).astype(np.float32)
             navs = propagate_states(
                 self.prev_nav_odom, self.prev_ba_odom, self.prev_bg_odom,
                 jnp.asarray(accs), jnp.asarray(gyrs), jnp.asarray(dts),

@@ -315,7 +315,8 @@ def surf_coeffs(pts_world, map_pts, d2, idx):
 
     x, y, z = pts_world[:, 0], pts_world[:, 1], pts_world[:, 2]
     pd2 = pa * x + pb * y + pc * z + pd
-    s_w = 1 - 0.9 * np.abs(pd2) / np.sqrt(np.sqrt(np.sqrt(x * x + y * y + z * z)))
+    # ref :1198: sqrt(sqrt(x*x+y*y+z*z)) — the inner arg is the SQUARED norm.
+    s_w = 1 - 0.9 * np.abs(pd2) / np.sqrt(np.sqrt(x * x + y * y + z * z))
     ok = (d2[:, 4] < 1.0) & plane_ok & (s_w > 0.1)
     coeff[ok] = (s_w[:, None] * np.stack([pa, pb, pc], -1))[ok]
     resid[ok] = (s_w * pd2)[ok]

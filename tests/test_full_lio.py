@@ -71,13 +71,16 @@ def test_full_lio_pipeline():
     imu_times = np.array([s[0] for s in imu])
     last_guess = None
     for st in scan_times:
-        # feed IMU up to scan time; collect preintegration prediction
+        # feed IMU up to scan time; one batched flush yields the
+        # preintegration prediction (>= 10x fewer device dispatches than
+        # per-sample propagation at 100 Hz)
         while imu_idx < len(imu) and imu[imu_idx][0] <= st:
             t, acc, gyr = imu[imu_idx]
-            out = odo.handle_imu(t, acc, gyr)
-            if out is not None:
-                last_guess = out[0]
+            odo.handle_imu(t, acc, gyr)
             imu_idx += 1
+        out = odo.flush_imu_odometry()
+        if out is not None:
+            last_guess = out[0][-1]
 
         R, p = gt_by_time[round(st, 4)]
         scan = simulate_scan(world, np.concatenate([_rpy(R), p]), seed=int(st * 10))

@@ -52,15 +52,21 @@ def test_imu_odometry_tracks_ground_truth():
 
     next_correction = 0.0
     preds = []
+    pending_gt = []
     for (t, acc, gyr, R, p, v) in sim:
         if t >= next_correction:
+            # one batched flush per scan interval (TPU dispatch grain)
+            out = odo.flush_imu_odometry()
+            if out is not None:
+                assert len(out[0]) == len(pending_gt)
+                for (pp, pv), (tg, gp, gv) in zip(zip(*out), pending_gt):
+                    preds.append((tg, pp, pv, gp, gv))
+            pending_gt = []
             pose6 = np.concatenate([_rpy_from_R(R), p]).astype(np.float32)
             odo.handle_odometry(t, pose6, reset_id=0)
             next_correction += lidar_period
-        out = odo.handle_imu(t, acc, gyr)
-        if out is not None:
-            pred_pose, pred_vel = out
-            preds.append((t, pred_pose, pred_vel, p, v))
+        odo.handle_imu(t, acc, gyr)
+        pending_gt.append((t, p, v))
 
     assert len(preds) > 100
     # prediction error against ground truth (perfect IMU, frequent corrections)
