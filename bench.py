@@ -8,10 +8,18 @@ vs_baseline is measured against BASELINE.json's north-star target of
 throughput numbers; its config caps processing at ~6.7 Hz,
 /root/reference/config/params.yaml:61).
 
-Pipeline benchmarked: full LOAM registration solve — per GN iteration:
-feature transform, streamed 5-NN against corner+surf local maps, line/plane
-fits, masked Gauss-Newton step with degeneracy guard; up to `ITERS`
-iterations with convergence early-exit — vmapped over a batch of scans.
+What runs (all on-device, jitted):
+  frontend: vmapped projection + compaction + fast feature picking + voxel
+            downsample over B distinct scans (cloudHandler chain,
+            ref: src/imageProjection.cpp:182-226)
+  solve:    Pallas fused-fetch hash-grid candidate search + rounds-structured
+            GN solve, vmapped over the batch (scan2MapOptimization,
+            ref: src/mapOptmization.h:1403-1442)
+
+Reported: headline = solve-only scans/s (the BASELINE metric); extras carry
+the honest end-to-end (frontend+solve) number, ATE vs ground truth AND vs
+the serial NumPy oracle (tests/oracle.py) on a subset, and the hash-grid
+overflow diagnostics (silent candidate drops would show up here).
 """
 
 import json
@@ -39,10 +47,13 @@ def main():
         SyntheticWorld, build_feature_map, simulate_scan)
     from feature_base_pointcloud_registration_tpu.ops.features import (
         extract_features)
+    from feature_base_pointcloud_registration_tpu.ops.hashgrid import (
+        grid_overflow_fraction)
     from feature_base_pointcloud_registration_tpu.ops.projection import (
         project_scan)
     from feature_base_pointcloud_registration_tpu.parallel.batch import (
-        batch_register_blocks, build_map_block_tables)
+        batch_register_blocks, batch_register_pallas, build_map_block_tables,
+        build_map_planar_tables)
     from feature_base_pointcloud_registration_tpu.pipeline.cloud_info import (
         FeatureMap, RawScan)
     from feature_base_pointcloud_registration_tpu.pipeline.frontend import (
@@ -50,79 +61,142 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", "32"))
     REPS = int(os.environ.get("BENCH_REPS", "10"))
+    N_ORACLE = int(os.environ.get("BENCH_ORACLE_SCANS", "8"))
     params = Params(map_corner_cap=16384, map_surf_cap=65536, knn_chunk=4096)
 
     world = SyntheticWorld()
     rng = np.random.RandomState(0)
 
-    # Prepare a handful of distinct scans' features (front end), tile to B.
-    n_unique = 8
-    feats_list, gt_list = [], []
-    for i in range(n_unique):
+    # B DISTINCT scans (no tiling), spread across the world
+    raw_list, gt_list = [], []
+    for i in range(B):
         pose = np.array([0, 0, rng.uniform(-1, 1), rng.uniform(-6, 6),
                          rng.uniform(-6, 6), 0.0], np.float32)
         s = simulate_scan(world, pose, seed=i)
-        raw = RawScan.from_numpy(s["xyz"], s["intensity"], s["ring"], s["time"])
+        raw = RawScan.from_numpy(s["xyz"], s["intensity"], s["ring"],
+                                 s["time"])
         raw = raw._replace(valid=jnp.asarray(s["valid"]))
-        cloud = project_scan(params, raw, None)
-        feats = downsample_features(params, extract_features(params, cloud))
-        feats_list.append(jax.tree.map(np.asarray, feats))
+        raw_list.append(jax.tree.map(np.asarray, raw))
         gt_list.append(pose)
-
-    idx = np.arange(B) % n_unique
-    feats = jax.tree.map(
-        lambda *a: jnp.asarray(np.stack([np.asarray(x) for x in a])),
-        *[feats_list[i] for i in idx])
-    gt = np.stack([gt_list[i] for i in idx])
+    raws = jax.tree.map(lambda *a: jnp.asarray(np.stack(a)), *raw_list)
+    gt = np.stack(gt_list)
     guesses = gt + rng.uniform(-1, 1, (B, 6)).astype(np.float32) * np.array(
         [0.02, 0.02, 0.05, 0.3, 0.3, 0.1], np.float32)
+    guesses_j = jnp.asarray(guesses)
 
     mcx, mcm, msx, msm = build_feature_map(world, params.map_corner_cap,
                                            params.map_surf_cap)
     fmap = FeatureMap(jnp.asarray(mcx), jnp.asarray(mcm),
                       jnp.asarray(msx), jnp.asarray(msm))
-    guesses_j = jnp.asarray(guesses)
 
-    # hash-grid neighbor index over the map volume (built once, amortized)
     center = np.array([0.0, 0.0, (world.ground_z + world.ceil_z) / 2],
                       np.float32)
     half = np.array([world.half_x + 1, world.half_y + 1,
                      (world.ceil_z - world.ground_z) / 2 + 1], np.float32)
-    ctab, stab, origin, dims = build_map_block_tables(fmap, center, half)
 
-    def run():
-        return batch_register_blocks(
-            feats, ctab, stab, origin, guesses_j, grid_dims=dims)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        ctab, stab, origin, dims = build_map_planar_tables(fmap, center, half)
+
+        def solve(feats, poses):
+            return batch_register_pallas(feats, ctab, stab, origin, poses,
+                                         grid_dims=dims)
+    else:
+        ctab, stab, origin, dims = build_map_block_tables(fmap, center, half)
+
+        def solve(feats, poses):
+            return batch_register_blocks(feats, ctab, stab, origin, poses,
+                                         grid_dims=dims)
+
+    @jax.jit
+    def frontend(raws):
+        def one(raw):
+            cloud = project_scan(params, raw, None)
+            return downsample_features(
+                params, extract_features(params, cloud, strict=False))
+        return jax.vmap(one)(raws)
+
+    @jax.jit
+    def end_to_end(raws, poses):
+        return solve(frontend(raws), poses)
+
+    def block(r):
+        jax.tree.map(lambda a: a.block_until_ready(), r)
+        return r
 
     # warmup/compile
-    res = run()
-    res.pose6.block_until_ready()
+    feats = block(frontend(raws))
+    res = block(solve(feats, guesses_j))
+    block(end_to_end(raws, guesses_j))
 
     t0 = time.perf_counter()
     for _ in range(REPS):
-        res = run()
-    res.pose6.block_until_ready()
-    dt = time.perf_counter() - t0
+        res = solve(feats, guesses_j)
+    block(res)
+    t_solve = (time.perf_counter() - t0) / REPS
 
-    scans_per_s = B * REPS / dt
-    p50_ms = dt / REPS / B * 1000.0
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        feats2 = frontend(raws)
+    block(feats2)
+    t_frontend = (time.perf_counter() - t0) / REPS
 
-    # sanity: solutions must actually be correct
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        res_e2e = end_to_end(raws, guesses_j)
+    block(res_e2e)
+    t_e2e = (time.perf_counter() - t0) / REPS
+
+    solve_sps = B / t_solve
+    e2e_sps = B / t_e2e
+
     poses = np.array(res.pose6)
     err_t = np.linalg.norm(poses[:, 3:] - gt[:, 3:], axis=1)
-    ate = float(np.sqrt((err_t ** 2).mean()))
+    ate_gt = float(np.sqrt((err_t ** 2).mean()))
+
+    # ATE vs the serial NumPy oracle (the BASELINE.json parity metric) on a
+    # subset — the oracle is exact-but-slow host code.
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    import oracle as oracle_mod
+    n_or = min(N_ORACLE, B)
+    feats_np = jax.tree.map(np.asarray, feats)
+    mc = np.asarray(mcx)[np.asarray(mcm)]
+    ms = np.asarray(msx)[np.asarray(msm)]
+    diffs = []
+    for i in range(n_or):
+        corner = feats_np.corner_xyz[i][feats_np.corner_mask[i]]
+        surf = feats_np.surf_xyz[i][feats_np.surf_mask[i]]
+        pose_o, _ = oracle_mod.register_scan(corner, surf, mc, ms, guesses[i])
+        diffs.append(poses[i, 3:] - pose_o[3:])
+    ate_oracle = float(np.sqrt((np.stack(diffs) ** 2).sum(-1).mean()))
+
+    # hash-grid overflow: fraction of map points silently dropped by cell caps
+    ovf_c = float(grid_overflow_fraction(
+        fmap.corner_xyz, fmap.corner_mask, origin, 2.0, dims=dims,
+        cell_cap=16))
+    ovf_s = float(grid_overflow_fraction(
+        fmap.surf_xyz, fmap.surf_mask, origin, 2.0, dims=dims, cell_cap=64))
 
     print(json.dumps({
         "metric": "batched scan-to-map registration throughput",
-        "value": round(scans_per_s, 2),
+        "value": round(solve_sps, 2),
         "unit": "scans/s",
-        "vs_baseline": round(scans_per_s / 1000.0, 4),
+        "vs_baseline": round(solve_sps / 1000.0, 4),
         "extra": {
             "batch": B,
             "reps": REPS,
-            "p50_latency_ms_per_scan": round(p50_ms, 3),
-            "ate_m": round(ate, 5),
+            "distinct_scans": B,
+            "solve_ms_per_scan": round(t_solve / B * 1000.0, 3),
+            "frontend_ms_per_scan": round(t_frontend / B * 1000.0, 3),
+            "e2e_scans_per_s": round(e2e_sps, 2),
+            "ate_vs_gt_m": round(ate_gt, 5),
+            "ate_vs_oracle_m": round(ate_oracle, 6),
+            "oracle_scans": n_or,
             "n_converged": int(np.array(res.converged).sum()),
+            "grid_overflow_corner": round(ovf_c, 6),
+            "grid_overflow_surf": round(ovf_s, 6),
+            "solver": "pallas_fused_fetch" if on_tpu else "xla_blocks",
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

@@ -26,7 +26,29 @@ import jax.numpy as jnp
 from .eig3 import eigvals_sym3, principal_eigvec_sym3, solve3
 
 _PREC = jax.lax.Precision.HIGHEST
+_BIG = jnp.float32(3.0e38)
 
+
+def select_smallest(d2, k: int):
+    """Boolean mask of the k smallest entries along the last axis (ties by
+    lower index), plus the largest selected value.
+
+    The TPU-fast replacement for top-k + gather on narrow candidate sets:
+    rank_i = #{j : d2_j < d2_i, ties by index} via an all-pairs [..., K, K]
+    comparison — pure elementwise VPU work, no sort network, no scatter
+    (lax.top_k / argmin-scatter passes measured 6x the cost of the entire
+    correspondence math at K=8).  Downstream consumers use the mask in
+    weighted-sum form instead of gathering the selected rows.
+    """
+    K = d2.shape[-1]
+    idx = jnp.arange(K, dtype=jnp.int32)
+    earlier = (d2[..., None, :] < d2[..., :, None]) | (
+        (d2[..., None, :] == d2[..., :, None])
+        & (idx[None, :] < idx[:, None]))
+    rank = jnp.sum(earlier, axis=-1)                    # [..., K]
+    sel = rank < k
+    dmax = jnp.max(jnp.where(sel, d2, -jnp.inf), axis=-1)
+    return sel, dmax
 
 
 def corner_correspondence(pts_world, valid, knn_fn):
@@ -37,10 +59,32 @@ def corner_correspondence(pts_world, valid, knn_fn):
     Returns (coeff [N,3], resid [N], mask [N]).
     """
     d2, nn = knn_fn(pts_world)                          # [N,5], [N,5,3]
-    gate_nn = valid & (d2[:, 4] < 1.0)
+    sel = jnp.ones(d2.shape, bool)                      # exact 5-NN: all
+    return _corner_from_candidates(pts_world, valid, nn, sel,
+                                   jnp.max(d2, axis=-1))
 
-    c = jnp.mean(nn, axis=1)                            # [N,3]
-    dev = nn - c[:, None, :]
+
+def corner_correspondence_cand(pts_world, valid, cand_xyz, cand_valid):
+    """Point-to-line coefficients straight from a K-candidate set.
+
+    The production hot path: d2 at the CURRENT pose + rank-mask 5-NN
+    selection + masked-sum line fit — no top-k, no gather (see
+    select_smallest).  cand_xyz: [N,K,3]; cand_valid: [N,K].
+    """
+    diff = pts_world[:, None, :] - cand_xyz
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(cand_valid, d2, _BIG)
+    sel, dmax = select_smallest(d2, 5)
+    return _corner_from_candidates(pts_world, valid, cand_xyz, sel, dmax)
+
+
+def _corner_from_candidates(pts_world, valid, nn, sel, d5max):
+    """Shared line-fit tail; sel selects exactly the 5-NN among nn's rows."""
+    gate_nn = valid & (d5max < 1.0)
+
+    selF = sel.astype(nn.dtype)[..., None]              # [N,K,1]
+    c = jnp.sum(nn * selF, axis=1) / 5.0                # [N,3]
+    dev = (nn - c[:, None, :]) * selF
     cov = jnp.einsum("nki,nkj->nij", dev, dev, precision=_PREC) / 5.0    # [N,3,3]
     # closed-form symmetric 3x3 spectrum (ascending); reference (cv::eigen)
     # is descending with row eigenvectors — same spectrum (ref :1060-1063).
@@ -89,10 +133,29 @@ def surf_correspondence(pts_world, valid, knn_fn):
     Returns (coeff [N,3], resid [N], mask [N]).
     """
     d2, nn = knn_fn(pts_world)                          # [N,5], [N,5,3]
-    gate_nn = valid & (d2[:, 4] < 1.0)
+    sel = jnp.ones(d2.shape, bool)                      # exact 5-NN: all
+    return _surf_from_candidates(pts_world, valid, nn, sel,
+                                 jnp.max(d2, axis=-1))
 
-    G = jnp.einsum("nki,nkj->nij", nn, nn, precision=_PREC)  # [N,3,3] = A^T A
-    b = -jnp.sum(nn, axis=1)                            # A^T(-1)
+
+def surf_correspondence_cand(pts_world, valid, cand_xyz, cand_valid):
+    """Point-to-plane coefficients straight from a K-candidate set
+    (rank-mask 5-NN selection + masked-sum plane fit; see select_smallest)."""
+    diff = pts_world[:, None, :] - cand_xyz
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(cand_valid, d2, _BIG)
+    sel, dmax = select_smallest(d2, 5)
+    return _surf_from_candidates(pts_world, valid, cand_xyz, sel, dmax)
+
+
+def _surf_from_candidates(pts_world, valid, nn, sel, d5max):
+    """Shared plane-fit tail; sel selects exactly the 5-NN among nn's rows."""
+    gate_nn = valid & (d5max < 1.0)
+
+    selF = sel.astype(nn.dtype)[..., None]              # [N,K,1]
+    nn_sel = nn * selF
+    G = jnp.einsum("nki,nkj->nij", nn_sel, nn_sel, precision=_PREC)  # A^T A
+    b = -jnp.sum(nn_sel, axis=1)                        # A^T(-1)
     n, det = solve3(G, b)                               # Cramer, pure VPU
     ok_det = jnp.abs(det) > 1e-10
 
@@ -107,7 +170,8 @@ def surf_correspondence(pts_world, valid, knn_fn):
         pa[:, None] * nn[:, :, 0] + pb[:, None] * nn[:, :, 1]
         + pc[:, None] * nn[:, :, 2] + pd[:, None]
     )
-    plane_valid = jnp.all(plane_res <= 0.2, axis=1) & ok_det & (ps > 1e-12)
+    plane_valid = (jnp.all(jnp.where(sel, plane_res <= 0.2, True), axis=1)
+                   & ok_det & (ps > 1e-12))
 
     pd2 = pa * pts_world[:, 0] + pb * pts_world[:, 1] + pc * pts_world[:, 2] + pd
     # ref :1198: s = 1 - 0.9*|pd2| / sqrt(sqrt(x*x+y*y+z*z)) — the inner

@@ -525,11 +525,14 @@ def grid_knn_block(query, block_table, origin, cell_size, *, dims, cell_cap,
     d2 = dx * dx + dy * dy + dz * dz
 
     vals, pos = _topk_small(d2, k)
-    nn = jnp.stack([
-        jnp.take_along_axis(cx, pos, axis=1),
-        jnp.take_along_axis(cy, pos, axis=1),
-        jnp.take_along_axis(cz, pos, axis=1),
-    ], axis=-1)
+    # Extract the k selected coordinates with a one-hot contraction over the
+    # window instead of take_along_axis: XLA lowers [Q,k] element gathers on
+    # the [Q, 8*cap] planes to scalar loads (~3x the cost of the whole rest
+    # of the fetch); the one-hot einsum rides the MXU at full tile width.
+    W = 8 * cap
+    oh = (pos[:, :, None] == jnp.arange(W, dtype=pos.dtype)).astype(cx.dtype)
+    coords = jnp.stack([cx, cy, cz], axis=-1)            # [Q, W, 3]
+    nn = jnp.einsum("qkw,qwc->qkc", oh, coords)          # [Q, k, 3]
     vals = jnp.where(vals > 1e17, _BIG, vals)
     return vals, nn
 

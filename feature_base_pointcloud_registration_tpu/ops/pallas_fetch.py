@@ -1,0 +1,229 @@
+"""Fused candidate fetch: Pallas TPU kernel for the hash-grid hot path.
+
+The XLA block fetch (ops.hashgrid.grid_knn_block) materializes the gathered
+[Q, 8*cap] candidate window to HBM and re-reads it for d2 + top-k (measured
+~50 ms/round for the surf table at B=32 on v5e).  This kernel fuses the whole
+fetch: each query's block row is DMA'd HBM->VMEM (double-buffered waves of
+16 rows), d2 and an exact top-K run on the VPU while the next wave's rows
+are in flight, and only the [Q, K] winners ever touch HBM again.
+
+Replaces the reference's per-query FLANN kdtree->nearestKSearch(5) calls
+(ref: src/mapOptmization.h:1020,1143) for the batched TPU path.
+
+Table layout: PLANE-MAJOR block rows reshaped to [n_cells+1, S, 128] with
+S = 3*8*cap/128, i.e. row = [ x(8 cells x cap) | y | z ] split into 128-lane
+tiles — single-row slices of a 3-D memref keep the (8,128) tiling legal, and
+each coordinate plane is a contiguous run of S/3 tiles (no sublane shuffles).
+Invalid slots hold FAR=1e9 m, so no validity plane is needed; downstream
+gates treat d2 > 1e17 as no-candidate.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = jnp.float32(3.0e38)
+_FAR = 1.0e9
+
+_WAVE = int(__import__('os').environ.get('FBPR_FETCH_WAVE', '128'))  # rows per DMA wave (double-buffered)
+_TILE = int(__import__('os').environ.get('FBPR_FETCH_TILE', '512'))  # queries per program
+
+
+def build_block_table_planar(sentinel_table, *, dims):
+    """[n_cells+1, 3*cap] sentinel table -> [n_cells+1, S, 128] plane-major
+    block rows, S = 24*cap/128 (cap must be a multiple of 16).
+
+    Row b = [x-planes of cells b+(0..1)^3 | y-planes | z-planes], each plane
+    `cap` wide; out-of-grid neighbors take the sentinel row (index n_cells).
+    """
+    Gx, Gy, Gz = dims
+    n_cells = Gx * Gy * Gz
+    cap = sentinel_table.shape[1] // 3
+    assert (24 * cap) % 128 == 0, f"cell_cap {cap} must be a multiple of 16"
+
+    cid = jnp.arange(n_cells, dtype=jnp.int32)
+    cx = cid // (Gy * Gz)
+    cy = (cid // Gz) % Gy
+    cz = cid % Gz
+
+    neighbor_rows = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                nx, ny, nz = cx + dx, cy + dy, cz + dz
+                ok = (nx < Gx) & (ny < Gy) & (nz < Gz)
+                nc = jnp.where(ok, (nx * Gy + ny) * Gz + nz, n_cells)
+                neighbor_rows.append(sentinel_table[nc])   # [n_cells, 3*cap]
+    planes = []
+    for axis in range(3):                                  # plane-major
+        for r in neighbor_rows:
+            planes.append(r[:, axis * cap:(axis + 1) * cap])
+    block = jnp.concatenate(planes, axis=1)                # [n_cells, 24*cap]
+    sent = jnp.full((1, 24 * cap), _FAR, sentinel_table.dtype)
+    table = jnp.concatenate([block, sent], axis=0)
+    return table.reshape(table.shape[0], (24 * cap) // 128, 128)
+
+
+def _fetch_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, table_ref,
+                  d2_ref, nnx_ref, nny_ref, nnz_ref,
+                  buf, sems, *, S3: int, K: int):
+    """One program: _TILE queries; waves of _WAVE row-DMAs, fused compute.
+
+    buf: [2, _WAVE, 3*S3, 128] VMEM; table rows are [3*S3, 128] with the x/y/z
+    planes at tile ranges [0:S3], [S3:2*S3], [2*S3:3*S3].
+    """
+    n_waves = _TILE // _WAVE
+    W = S3 * 128
+
+    def dma(slot, wave, r):
+        row = bcell_ref[wave * _WAVE + r, 0]
+        return pltpu.make_async_copy(
+            table_ref.at[row], buf.at[slot, r], sems.at[slot, r])
+
+    def start_wave(slot, wave):
+        for r in range(_WAVE):
+            dma(slot, wave, r).start()
+
+    def wait_wave(slot, wave):
+        for r in range(_WAVE):
+            dma(slot, wave, r).wait()
+
+    start_wave(0, 0)
+
+    def wave_body(w, carry):
+        slot = w % 2
+
+        @pl.when(w + 1 < n_waves)
+        def _():
+            start_wave((w + 1) % 2, w + 1)
+
+        wait_wave(slot, w)
+
+        rows = buf[slot]                                   # [WAVE, 3*S3, 128]
+        X = rows[:, 0 * S3:1 * S3, :].reshape(_WAVE, W)    # minor-dim collapse
+        Y = rows[:, 1 * S3:2 * S3, :].reshape(_WAVE, W)
+        Z = rows[:, 2 * S3:3 * S3, :].reshape(_WAVE, W)
+        qsl = pl.ds(w * _WAVE, _WAVE)
+        qx = qx_ref[qsl, :]                                # [WAVE, 1]
+        qy = qy_ref[qsl, :]
+        qz = qz_ref[qsl, :]
+        dx = X - qx
+        dy = Y - qy
+        dz = Z - qz
+        d2 = dx * dx + dy * dy + dz * dz                   # [WAVE, W]
+
+        cols = lax.broadcasted_iota(jnp.int32, (_WAVE, W), 1)
+
+        ds_, xs_, ys_, zs_ = [], [], [], []
+        d2m = d2
+        for _k in range(K):                                # unrolled: K small
+            m = jnp.min(d2m, axis=1, keepdims=True)        # [WAVE, 1]
+            first = jnp.min(jnp.where(d2m == m, cols, W), axis=1,
+                            keepdims=True)                 # first occurrence
+            oh = (cols == first).astype(jnp.float32)
+            ds_.append(m)                                  # [WAVE, 1]
+            xs_.append(jnp.sum(X * oh, axis=1, keepdims=True))
+            ys_.append(jnp.sum(Y * oh, axis=1, keepdims=True))
+            zs_.append(jnp.sum(Z * oh, axis=1, keepdims=True))
+            d2m = jnp.where(cols == first, 3.0e38, d2m)
+
+        d2_ref[qsl, :] = jnp.concatenate(ds_, axis=1)      # [WAVE, K]
+        nnx_ref[qsl, :] = jnp.concatenate(xs_, axis=1)
+        nny_ref[qsl, :] = jnp.concatenate(ys_, axis=1)
+        nnz_ref[qsl, :] = jnp.concatenate(zs_, axis=1)
+        return carry
+
+    lax.fori_loop(0, n_waves, wave_body, jnp.int32(0), unroll=False)
+
+
+@partial(jax.jit, static_argnames=("W", "K"))
+def fused_block_fetch(table_planar, bcell, query, *, W: int, K: int = 8):
+    """query [Q,3], bcell [Q] int32 row ids -> (d2 [Q,K], nn [Q,K,3]).
+
+    Q must be a multiple of 256 (pad queries; point padded bcell rows at the
+    sentinel row).  W = 8*cell_cap candidates per block row; table_planar
+    from build_block_table_planar ([rows, 3*W/128, 128]).
+    """
+    Q = query.shape[0]
+    assert Q % _TILE == 0, Q
+    assert W % 128 == 0, W
+    S3 = W // 128
+    assert table_planar.shape[1] == 3 * S3, (table_planar.shape, W)
+    grid = (Q // _TILE,)
+
+    kernel = partial(_fetch_kernel, S3=S3, K=K)
+    d2, nnx, nny, nnz = pl.pallas_call(
+        kernel,
+        # Mosaic is TPU-only; on CPU (tests, virtual meshes) run interpreted.
+        interpret=jax.default_backend() != "tpu",
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),          # table stays HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((_TILE, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, K), jnp.float32),
+            jax.ShapeDtypeStruct((Q, K), jnp.float32),
+            jax.ShapeDtypeStruct((Q, K), jnp.float32),
+            jax.ShapeDtypeStruct((Q, K), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, _WAVE, 3 * S3, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _WAVE)),
+        ],
+    )(bcell[:, None], query[:, 0:1], query[:, 1:2], query[:, 2:3],
+      table_planar)
+
+    nn = jnp.stack([nnx, nny, nnz], axis=-1)
+    d2 = jnp.where(d2 > 1e17, _BIG, d2)
+    return d2, nn
+
+
+def block_cell_of(query, origin, cell_size, *, dims):
+    """Block-corner row id per query (octant rule; out-of-grid -> sentinel)."""
+    Gx, Gy, Gz = dims
+    n_cells = Gx * Gy * Gz
+    rel = (query - origin) / cell_size
+    ijk = jnp.floor(rel).astype(jnp.int32)
+    frac = rel - ijk
+    base = ijk - (frac < 0.5).astype(jnp.int32)
+    ok = (jnp.all(base >= 0, axis=-1)
+          & (base[:, 0] < Gx) & (base[:, 1] < Gy) & (base[:, 2] < Gz))
+    return jnp.where(ok, (base[:, 0] * Gy + base[:, 1]) * Gz + base[:, 2],
+                     n_cells).astype(jnp.int32)
+
+
+def make_pallas_block_knn(table_planar, origin, cell_size, *, dims, cell_cap,
+                          k: int = 8):
+    """Fetch closure (query [Q,3] -> (d2 [Q,k], nn [Q,k,3])) on the fused
+    kernel; same contract as ops.hashgrid.make_block_grid_knn."""
+    W = 8 * cell_cap
+
+    def f(q):
+        bcell = block_cell_of(q, origin, cell_size, dims=dims)
+        return fused_block_fetch(table_planar, bcell, q, W=W, K=k)
+
+    return f

@@ -24,7 +24,8 @@ from jax import lax
 from ..config import Params
 from ..geom.se3 import euler_to_rot, quat_from_euler, quat_slerp, euler_from_quat
 from ..pipeline.cloud_info import FeatureMap, ScanFeatures
-from .correspondence import corner_correspondence, surf_correspondence
+from .correspondence import (corner_correspondence, corner_correspondence_cand,
+                             surf_correspondence, surf_correspondence_cand)
 from .knn import _extract_topk, knn, make_local_knn
 from .solver import GNState, gn_step
 
@@ -328,10 +329,10 @@ def register_scan_fast(
         corner_w = jnp.dot(features.corner_xyz, R.T, precision=prec) + t
         surf_w = jnp.dot(features.surf_xyz, R.T, precision=prec) + t
 
-        c_coeff, c_resid, c_mask = corner_correspondence(
-            corner_w, features.corner_mask, make_candidate_knn(cc, ccv))
-        s_coeff, s_resid, s_mask = surf_correspondence(
-            surf_w, features.surf_mask, make_candidate_knn(sc, scv))
+        c_coeff, c_resid, c_mask = corner_correspondence_cand(
+            corner_w, features.corner_mask, cc, ccv)
+        s_coeff, s_resid, s_mask = surf_correspondence_cand(
+            surf_w, features.surf_mask, sc, scv)
 
         pts = jnp.concatenate([features.corner_xyz, features.surf_xyz], axis=0)
         coeff = jnp.concatenate([c_coeff, s_coeff], axis=0)
@@ -513,10 +514,10 @@ def register_scan_fast_grid(
         corner_w = jnp.dot(features.corner_xyz, R.T, precision=prec) + t
         surf_w = jnp.dot(features.surf_xyz, R.T, precision=prec) + t
 
-        c_coeff, c_resid, c_mask = corner_correspondence(
-            corner_w, features.corner_mask, make_candidate_knn(cc, ccv))
-        s_coeff, s_resid, s_mask = surf_correspondence(
-            surf_w, features.surf_mask, make_candidate_knn(sc, scv))
+        c_coeff, c_resid, c_mask = corner_correspondence_cand(
+            corner_w, features.corner_mask, cc, ccv)
+        s_coeff, s_resid, s_mask = surf_correspondence_cand(
+            surf_w, features.surf_mask, sc, scv)
 
         pts = jnp.concatenate([features.corner_xyz, features.surf_xyz], axis=0)
         coeff = jnp.concatenate([c_coeff, s_coeff], axis=0)
@@ -653,8 +654,8 @@ def register_rounds_core(
         corner_w, surf_w = transform(state.pose6)
         cd, cnn = corner_fetch(corner_w)
         sd, snn = surf_fetch(surf_w)
-        c_knn = make_candidate_knn(cnn, cd < 1e37)
-        s_knn = make_candidate_knn(snn, sd < 1e37)
+        ccv = cd < 1e37
+        scv = sd < 1e37
 
         def iter_cond(c):
             it, state = c
@@ -663,10 +664,10 @@ def register_rounds_core(
         def iter_body(c):
             it_in, state = c
             corner_w, surf_w = transform(state.pose6)
-            c_coeff, c_resid, c_mask = corner_correspondence(
-                corner_w, features.corner_mask, c_knn)
-            s_coeff, s_resid, s_mask = surf_correspondence(
-                surf_w, features.surf_mask, s_knn)
+            c_coeff, c_resid, c_mask = corner_correspondence_cand(
+                corner_w, features.corner_mask, cnn, ccv)
+            s_coeff, s_resid, s_mask = surf_correspondence_cand(
+                surf_w, features.surf_mask, snn, scv)
             coeff = jnp.concatenate([c_coeff, s_coeff], axis=0)
             resid = jnp.concatenate([c_resid, s_resid], axis=0)
             mask = jnp.concatenate([c_mask, s_mask], axis=0)

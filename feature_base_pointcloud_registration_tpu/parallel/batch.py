@@ -212,6 +212,62 @@ def build_map_block_tables(local_map: FeatureMap, center, half_extent,
     return cbt, sbt, origin, dims
 
 
+def build_map_planar_tables(local_map: FeatureMap, center, half_extent,
+                            cell_size: float = 2.0, corner_cell_cap: int = 16,
+                            surf_cell_cap: int = 64, margin: float = 2.0):
+    """Plane-major block tables for the Pallas fused-fetch path.  Returns
+    (corner_table [R,S,128], surf_table [R,S,128], origin, dims)."""
+    from ..ops.hashgrid import (build_grid_sentinel, default_grid_spec,
+                                grid_origin)
+    from ..ops.pallas_fetch import build_block_table_planar
+
+    dims = default_grid_spec(half_extent, cell_size, margin)
+    origin = grid_origin(center, half_extent, margin)
+    cst = build_grid_sentinel(local_map.corner_xyz, local_map.corner_mask,
+                              origin, cell_size, dims=dims,
+                              cell_cap=corner_cell_cap)
+    sst = build_grid_sentinel(local_map.surf_xyz, local_map.surf_mask,
+                              origin, cell_size, dims=dims,
+                              cell_cap=surf_cell_cap)
+    cpt = build_block_table_planar(cst, dims=dims)
+    spt = build_block_table_planar(sst, dims=dims)
+    return cpt, spt, origin, dims
+
+
+@partial(jax.jit, static_argnames=("grid_dims", "cell_size",
+                                   "corner_cell_cap", "surf_cell_cap",
+                                   "num_rounds", "iters_per_round",
+                                   "num_candidates"))
+def batch_register_pallas(features: ScanFeatures, corner_planar, surf_planar,
+                          origin, init_poses, *, grid_dims,
+                          cell_size: float = 2.0, corner_cell_cap: int = 16,
+                          surf_cell_cap: int = 64,
+                          num_rounds: int = 2, iters_per_round: int = 15,
+                          num_candidates: int = 8) -> RegisterResult:
+    """Fastest TPU path: Pallas fused fetch + rounds-structured solve.
+
+    Tables from build_map_planar_tables; feature caps must be multiples of
+    512 (the kernel's query tile).  TPU-only — use batch_register_blocks on
+    other backends."""
+    from ..ops.pallas_fetch import make_pallas_block_knn
+    from ..ops.register import register_rounds_core
+
+    cfetch = make_pallas_block_knn(corner_planar, origin, cell_size,
+                                   dims=grid_dims, cell_cap=corner_cell_cap,
+                                   k=num_candidates)
+    sfetch = make_pallas_block_knn(surf_planar, origin, cell_size,
+                                   dims=grid_dims, cell_cap=surf_cell_cap,
+                                   k=num_candidates)
+
+    fn = jax.vmap(
+        lambda f, p: register_rounds_core(
+            f, cfetch, sfetch, p,
+            num_rounds=num_rounds, iters_per_round=iters_per_round),
+        in_axes=(0, 0),
+    )
+    return fn(features, init_poses)
+
+
 @partial(jax.jit, static_argnames=("grid_dims", "cell_size",
                                    "corner_cell_cap", "surf_cell_cap",
                                    "num_rounds", "iters_per_round",

@@ -231,7 +231,28 @@ def voxel_downsample(pts, leaf):
 
 
 # ------------------------------------------------------------- registration
+_tree_cache = {}
+
+
 def knn5(query, ref, chunk=1024):
+    """Exact 5-NN.  Uses a cached scipy cKDTree per map array when scipy is
+    available (the map is queried ~60x per oracle solve); falls back to the
+    original chunked brute force otherwise.  Both are exact."""
+    try:
+        from scipy.spatial import cKDTree
+    except ImportError:
+        return _knn5_brute(query, ref, chunk)
+    key = (ref.ctypes.data, ref.shape)
+    hit = _tree_cache.get(key)
+    if hit is None or hit[0] is not ref:
+        hit = (ref, cKDTree(ref.astype(np.float64)))
+        _tree_cache.clear()          # one map at a time; avoid stale refs
+        _tree_cache[key] = hit
+    d, i = hit[1].query(query.astype(np.float64), k=5)
+    return d * d, i
+
+
+def _knn5_brute(query, ref, chunk=1024):
     q = query.astype(np.float64)
     r = ref.astype(np.float64)
     r_norm = (r * r).sum(-1)

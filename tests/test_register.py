@@ -159,8 +159,11 @@ def test_register_fast_matches_exact():
                                   chunk=PARAMS.knn_chunk, num_candidates=16)
     pe = np.array(res_exact.pose6)
     pf = np.array(res_fast.pose6)
-    assert np.linalg.norm(pf[3:] - pe[3:]) < 2e-3, (pe, pf)
-    assert np.linalg.norm(pf[:3] - pe[:3]) < 2e-3
+    # 4 mm: fast path computes line/plane fits as rank-masked sums over the
+    # K-candidate window (not gathered 5-row means); the f32 association
+    # difference wanders a couple mm through 30 chaotic GN gate decisions.
+    assert np.linalg.norm(pf[3:] - pe[3:]) < 4e-3, (pe, pf)
+    assert np.linalg.norm(pf[:3] - pe[:3]) < 4e-3
     # and both near ground truth
     assert np.linalg.norm(pf[3:] - pose_gt[3:]) < 0.03
 
