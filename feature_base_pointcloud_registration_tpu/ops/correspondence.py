@@ -148,16 +148,59 @@ def surf_correspondence_cand(pts_world, valid, cand_xyz, cand_valid):
     return _surf_from_candidates(pts_world, valid, cand_xyz, sel, dmax)
 
 
+def _householder_lstsq3(A, b):
+    """argmin_n ||A n - b||  for A [N,K,3] (all-zero rows allowed), via 3
+    Householder reflections + back substitution — error grows with cond(A),
+    not cond(A)^2.
+
+    The reference solves the plane fit A n = -1 with colPivHouseholderQr
+    (ref :1169); forming the 3x3 normal equations instead squares the
+    conditioning, and with map coordinates ~15 m from the origin the f32
+    Cramer solve produced garbage normals on marginal planes (observed: 12%
+    of surf gates flipping vs the f64 oracle).  Returns (n [N,3],
+    |det R| [N]) — |r00*r11*r22| = |det A-ish|, the rank gate.
+    """
+    K = A.shape[1]
+    rows = jnp.arange(K)
+    cols = [A[:, :, 0], A[:, :, 1], A[:, :, 2]]
+    y = b
+    for j in range(3):
+        act = (rows >= j)[None, :]
+        x = jnp.where(act, cols[j], 0.0)                # [N,K]
+        normx = jnp.sqrt(jnp.sum(x * x, axis=1))
+        pj = x[:, j]
+        alpha = -jnp.where(pj >= 0, 1.0, -1.0) * normx
+        v = x - alpha[:, None] * (rows == j)[None, :].astype(x.dtype)
+        vn2 = jnp.sum(v * v, axis=1)
+        inv = jnp.where(vn2 > 1e-30, 2.0 / vn2, 0.0)
+        for c in range(j, 3):
+            coef = inv * jnp.sum(v * cols[c], axis=1)
+            cols[c] = cols[c] - coef[:, None] * v
+        coefy = inv * jnp.sum(v * y, axis=1)
+        y = y - coefy[:, None] * v
+    r00, r01, r02 = cols[0][:, 0], cols[1][:, 0], cols[2][:, 0]
+    r11, r12 = cols[1][:, 1], cols[2][:, 1]
+    r22 = cols[2][:, 2]
+
+    def _safe(d):
+        return jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+
+    n2 = y[:, 2] / _safe(r22)
+    n1 = (y[:, 1] - r12 * n2) / _safe(r11)
+    n0 = (y[:, 0] - r01 * n1 - r02 * n2) / _safe(r00)
+    return jnp.stack([n0, n1, n2], axis=-1), jnp.abs(r00 * r11 * r22)
+
+
 def _surf_from_candidates(pts_world, valid, nn, sel, d5max):
     """Shared plane-fit tail; sel selects exactly the 5-NN among nn's rows."""
     gate_nn = valid & (d5max < 1.0)
 
     selF = sel.astype(nn.dtype)[..., None]              # [N,K,1]
     nn_sel = nn * selF
-    G = jnp.einsum("nki,nkj->nij", nn_sel, nn_sel, precision=_PREC)  # A^T A
-    b = -jnp.sum(nn_sel, axis=1)                        # A^T(-1)
-    n, det = solve3(G, b)                               # Cramer, pure VPU
-    ok_det = jnp.abs(det) > 1e-10
+    # least squares A n = -1 over the selected rows (zero rows are no-ops);
+    # |det R| gate matches the old |det(A^T A)| > 1e-10 (det G = det R^2).
+    n, detR = _householder_lstsq3(nn_sel, -sel.astype(nn.dtype))
+    ok_det = detR > 1e-5
 
     ps = jnp.sqrt(jnp.sum(n * n, axis=-1))
     ps_safe = jnp.where(ps > 1e-12, ps, 1.0)

@@ -164,45 +164,56 @@ def _ring_pick(ring_window, sector_cap, edge_threshold, surf_threshold,
         is_corner = jnp.ones((n_steps,), bool)
         sector_start = step_idx % CC == 0
 
+    # ---- candidate-space serial pick ----
+    # The greedy loop is sequential, but each step's work need not touch the
+    # [W] window: per-element scatters/gathers inside a vmapped lax.scan cost
+    # ~1 ms/step at batch 32 on TPU.  Instead the carry lives in CANDIDATE
+    # space ([S] vectors, S = stream length) and every step is elementwise:
+    #
+    #   * "picked" becomes a suppressed-candidates vector; a pick at pos_k
+    #     suppresses candidate i iff |pos_i - pos_k| <= 5 and no column gap
+    #     > 10 lies between them.  The cumulative-gap early break
+    #     (ref :227-240) collapses to equality of a gap-break prefix count:
+    #     bc[i] = #\{j <= pos_i : |col[j]-col[j-1]| > 10\}, path clear
+    #     <=> bc_i == bc_k.  (Both directions check the same gap set.)
+    #   * reading carry[k] uses a one-hot reduce, not a dynamic index.
+    #
+    # Labels scatter back to the window ONCE after the loop.
+    S = stream_pos.shape[0]
+    gap_break = jnp.abs(col - jnp.roll(col, 1)) > 10
+    bcum = jnp.cumsum(gap_break.astype(jnp.int32))
+    bc = bcum[stream_pos]                               # [S] gather, once
+    alive0 = ~picked0[stream_pos]                       # occlusion mask, once
+    stream_idx = jnp.arange(S, dtype=jnp.int32)
+
     def body(carry, xs):
-        picked, label, ccount = carry
-        pos, val, valid, corner_phase, reset = xs
-        ccount = jnp.where(reset, 0, ccount)
+        suppressed, label_c, ccount = carry
+        pos_k, val_k, valid_k, corner_k, reset_k, bc_k, k = xs
+        ccount = jnp.where(reset_k, 0, ccount)
 
-        not_picked = ~picked[pos]
-        if True:  # corner/surf decision (kept branch-free)
-            qualify_c = valid & corner_phase & not_picked & (val > edge_threshold)
-            do_c = qualify_c & (ccount < 20)  # 21st qualifier breaks (ref :221)
-            ccount = ccount + qualify_c.astype(jnp.int32)
-            qualify_s = valid & (~corner_phase) & not_picked & (val < surf_threshold)
-            do = do_c | qualify_s
+        sel = stream_idx == k
+        picked_now = jnp.any(suppressed & sel)
+        qualify_c = (valid_k & corner_k & ~picked_now
+                     & (val_k > edge_threshold))
+        do_c = qualify_c & (ccount < 20)  # 21st qualifier breaks (ref :221)
+        ccount = ccount + qualify_c.astype(jnp.int32)
+        qualify_s = (valid_k & ~corner_k & ~picked_now
+                     & (val_k < surf_threshold))
+        do = do_c | qualify_s
 
+        supp_row = (jnp.abs(stream_pos - pos_k) <= 5) & (bc == bc_k)
+        suppressed = suppressed | (supp_row & do)
         new_label = jnp.where(do_c, jnp.int8(1), jnp.int8(-1))
-        label = label.at[pos].set(jnp.where(do, new_label, label[pos]))
-        picked = picked.at[pos].set(jnp.where(do, True, picked[pos]))
+        label_c = jnp.where(sel & do, new_label, label_c)
+        return (suppressed, label_c, ccount), None
 
-        # +-5 neighbor suppression with column-gap early break (ref :227-240).
-        allow = do
-        for l in range(1, 6):
-            p_hi = jnp.minimum(pos + l, W - 1)
-            gap = jnp.abs(col[p_hi] - col[jnp.maximum(p_hi - 1, 0)])
-            allow = allow & (gap <= 10)
-            picked = picked.at[p_hi].set(picked[p_hi] | allow)
-        allow = do
-        for l in range(1, 6):
-            p_lo = jnp.maximum(pos - l, 0)
-            gap = jnp.abs(col[p_lo] - col[jnp.minimum(p_lo + 1, W - 1)])
-            allow = allow & (gap <= 10)
-            picked = picked.at[p_lo].set(picked[p_lo] | allow)
-
-        return (picked, label, ccount), None
-
-    label0 = jnp.zeros((W,), jnp.int8)
-    (picked, label, _), _ = lax.scan(
+    (suppressed, label_c, _), _ = lax.scan(
         body,
-        (picked0, label0, jnp.int32(0)),
-        (stream_pos, stream_val, stream_valid, is_corner, sector_start),
+        (~alive0, jnp.zeros((S,), jnp.int8), jnp.int32(0)),
+        (stream_pos, stream_val, stream_valid, is_corner, sector_start,
+         bc, stream_idx),
     )
+    label = jnp.zeros((W,), jnp.int8).at[stream_pos].add(label_c)
 
     # surface gathering covers every non-skipped sector span (ref :279-284)
     w_idx = jnp.arange(W, dtype=jnp.int32)
