@@ -220,3 +220,27 @@ def optimize_imu_chain(d: ImuChainData, iterations: int = 5):
     (states, _, cost), _ = lax.scan(
         step, (d.states, jnp.float32(1e-4), cost0), None, length=iterations)
     return states, cost
+
+
+@jax.jit
+def assemble_chain_hessian(d: ImuChainData, states):
+    """Information matrix of the chain at `states` (inactive vars pinned)."""
+    H, _ = _assemble(d, states)
+    active = jnp.repeat(d.state_mask, STATE_DIM)
+    return H + jnp.diag(jnp.where(active, 0.0, 1.0))
+
+
+def state_marginal_covariance(d: ImuChainData, states, idx: int):
+    """15x15 marginal covariance of state `idx` — the carried prior for the
+    window reset (ref: src/imuPreintegration.cpp:241-253 reads
+    marginalCovariance(X/V/B(key-1)) into the new priors).  Host f64 solve
+    (see pose_graph.pose_marginal_covariance for why)."""
+    import numpy as np
+
+    H = np.asarray(assemble_chain_hessian(d, jnp.asarray(states)), np.float64)
+    D = H.shape[0]
+    rows = int(idx) * STATE_DIM + np.arange(STATE_DIM)
+    E = np.zeros((D, STATE_DIM))
+    E[rows, np.arange(STATE_DIM)] = 1.0
+    X = np.linalg.solve(H, E)
+    return X[rows]

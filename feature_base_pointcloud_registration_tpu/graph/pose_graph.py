@@ -224,3 +224,37 @@ def optimize_pose_graph(g: PoseGraphData, iterations: int = 10):
     (poses, _, cost), _ = lax.scan(
         step, (g.poses, jnp.float32(1e-4), cost0), None, length=iterations)
     return poses, cost
+
+
+@jax.jit
+def assemble_hessian(g: PoseGraphData, poses):
+    """Gauss-Newton Hessian (J^T J) of the graph at `poses` — the
+    information matrix whose inverse blocks are the marginal covariances
+    (GTSAM isam->marginalCovariance analog, ref: src/mapOptmization.h:1706).
+    Inactive variables get a unit diagonal so the matrix stays invertible."""
+    K = g.poses.shape[0]
+    H, _, _ = _assemble(g, poses, K)
+    active = jnp.repeat(g.pose_mask, 6)
+    return H + jnp.diag(jnp.where(active, 0.0, 1.0))
+
+
+def pose_marginal_covariance(g: PoseGraphData, poses, idx: int):
+    """6x6 marginal covariance [rot(3), trans(3)] of pose `idx`.
+
+    The reference reads isam->marginalCovariance(latest) after every update
+    (ref: src/mapOptmization.h:1706) to gate GPS factors (poseCovThreshold,
+    ref :1596-1599) and to prime the preintegration reset priors
+    (ref: src/imuPreintegration.cpp:241-253).  The Hessian assembles on
+    device in f32; the solve runs on host in f64 because whitened factor
+    weights span ~1e-8 (the wide xyz prior) to ~1e6 (tight betweens) —
+    beyond f32 solve conditioning.
+    """
+    import numpy as np
+
+    H = np.asarray(assemble_hessian(g, jnp.asarray(poses)), np.float64)
+    D = H.shape[0]
+    rows = int(idx) * 6 + np.arange(6)
+    E = np.zeros((D, 6))
+    E[rows, np.arange(6)] = 1.0
+    X = np.linalg.solve(H, E)
+    return X[rows]

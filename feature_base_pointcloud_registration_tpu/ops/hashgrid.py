@@ -37,11 +37,14 @@ _BIG = jnp.float32(3.0e38)
 def _topk_small(d2, k: int):
     """Smallest-k over the last axis.
 
-    approx_min_k lowers to a fused single-pass PartialReduce on TPU (6x
-    faster than k argmin passes at k=16); recall on these candidate sets is
-    ~1.0 and the per-iteration 5-NN within candidates is exact anyway.
-    Tiny cases keep the exact extraction."""
-    if k <= 5 and d2.shape[-1] <= 64:
+    k <= 5 is the correspondence-facing 5-NN (every gate in the reference
+    keys off the exact 5-NN set, ref: src/mapOptmization.h:1027,1154) and
+    must be EXACT — an occasionally-missed true neighbor would silently
+    change the d2[4] < 1.0 gate.  Larger k is candidate *prefetch* only
+    (the per-iteration 5-NN within those candidates re-ranks exactly), so
+    approx_min_k is safe there and lowers to a fused single-pass
+    PartialReduce on TPU (6x faster than k argmin passes at k=16)."""
+    if k <= 5:
         return _extract_topk(d2, k)
     vals, pos = lax.approx_min_k(d2, k, recall_target=0.95,
                                  aggregate_to_topk=True)
@@ -89,7 +92,7 @@ def build_grid_table_core(pts, mask, origin, cell_size, *, dims, cell_cap):
 
 @partial(jax.jit, static_argnames=("dims", "cell_cap"))
 def build_grid_table(pts, mask, origin, cell_size, *, dims, cell_cap):
-    """Jitted top-level wrapper (see register_scan_grid's cache note)."""
+    """Jitted top-level wrapper around build_grid_table_core."""
     return build_grid_table_core(pts, mask, origin, cell_size, dims=dims,
                                  cell_cap=cell_cap)
 

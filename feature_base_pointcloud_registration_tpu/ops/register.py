@@ -385,7 +385,8 @@ def register_grid_core(
     once per local map and amortized across every scan and GN iteration
     registered against that map.  Exact w.r.t. register_scan for all gated
     correspondences (the 27-cell neighborhood covers the 1 m accept radius).
-    Not itself jitted — trace inside jit, or use register_scan_grid.
+    Not itself jitted — trace inside an outer jit (grid_register_step is the
+    jitted entry point shared by both pipelines).
     """
     from .hashgrid import make_packed_grid_knn
 
@@ -404,25 +405,6 @@ def register_grid_core(
         converge_rot_deg=converge_rot_deg,
         converge_trans_cm=converge_trans_cm,
     )
-
-
-@partial(jax.jit, static_argnames=(
-    "max_iterations", "min_correspondences", "eigen_threshold",
-    "edge_min_valid", "surf_min_valid", "cell_cap", "cell_size",
-    "converge_rot_deg", "converge_trans_cm", "grid_dims"))
-def register_scan_grid(features, local_map, corner_grid_table,
-                       surf_grid_table, grid_origin_xyz, init_pose6,
-                       **kw) -> RegisterResult:
-    """Jitted top-level wrapper around register_grid_core.
-
-    NOTE: when composing inside another jitted function, call
-    register_grid_core directly — tracing this jitted wrapper inside an
-    outer jit and *also* calling it standalone in the same process trips a
-    cache/buffer-count mismatch in the runtime.
-    """
-    return register_grid_core(features, local_map, corner_grid_table,
-                              surf_grid_table, grid_origin_xyz, init_pose6,
-                              **kw)
 
 
 @partial(jax.jit, static_argnames=(
@@ -558,10 +540,13 @@ def grid_register_step(local_map: FeatureMap, features: ScanFeatures, pose6,
     """Hash-grid build + scan-to-map solve as ONE jitted step.
 
     The single registration entry point shared by the localization and SLAM
-    pipelines (one executable, one compile).  The grid spans pose +-
-    half_extent: exactly the reference's local-map box (ref
-    src/mapOptmization.h:286) since correspondences farther than that can't
-    exist after the crop anyway.
+    pipelines (one executable per half_extent, one compile).  The grid spans
+    pose +- half_extent; the caller must size it so every map point that
+    could hold a correspondence is inside the box: the localization path
+    passes the reference's crop box (ref src/mapOptmization.h:286, nothing
+    exists outside it), the SLAM path passes the larger
+    slam_grid_half_extent covering the surrounding-keyframe radius (ref
+    :872, the reference KD-searches the full surrounding map).
     """
     from .hashgrid import (build_grid_sentinel_core, default_grid_spec,
                            grid_origin)

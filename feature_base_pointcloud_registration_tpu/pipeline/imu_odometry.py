@@ -268,13 +268,29 @@ class ImuOdometry:
             gravity=jnp.float32(p.imu_gravity),
         )
         states, _ = optimize_imu_chain(data, iterations=4)
+        self._last_chain_data = data
         return np.array(states)
 
     def _reset_window(self):
         """key==100 graph reset carrying the last state as the new prior
-        (ref :234-267); LM-window equivalent: restart the chain at key 1."""
+        (ref :234-267); LM-window equivalent: restart the chain at key 1,
+        with the new prior sigma = sqrt(diag(marginal covariance)) of the
+        last optimized state — the updatedPoseNoise/VelNoise/BiasNoise the
+        reference reads from isam marginals (ref :241-253)."""
         last_state = self.chain_states[self.key - 1].copy()
         last_meas = self.chain_pose_meas[self.key - 1].copy()
+        chain_data = getattr(self, "_last_chain_data", None)
+        if chain_data is not None:
+            from ..graph.imu_graph import state_marginal_covariance
+
+            cov = state_marginal_covariance(
+                chain_data, self.chain_states, self.key - 1)
+            self.prior_sigma = np.sqrt(
+                np.maximum(np.diag(cov), 1e-12)).astype(np.float32)
+        else:
+            self.prior_sigma = np.concatenate([
+                np.full(6, 1e-2), np.full(3, 1e-1), np.full(6, 1e-3)
+            ]).astype(np.float32)
         self.chain_states[:] = 0
         self.chain_mask[:] = False
         self.chain_preint = [None] * self.window
@@ -282,10 +298,6 @@ class ImuOdometry:
         self.chain_states[0] = last_state
         self.chain_mask[0] = True
         self.chain_pose_meas[0] = last_meas
-        # tightened priors standing in for the carried marginals
-        self.prior_sigma = np.concatenate([
-            np.full(6, 1e-2), np.full(3, 1e-1), np.full(6, 1e-3)
-        ]).astype(np.float32)
         self.key = 1
 
     def _reset_params(self):

@@ -126,10 +126,6 @@ class SlamPipeline:
             return self.pose
         if imu_available and self.last_imu_transform is not None:
             rpy = np.asarray(cloud_imu_rpy, np.float32)
-            incre = np.array(compose_pose6(
-                jnp.asarray(np.concatenate([
-                    -self.last_imu_transform[::-1] * 0, np.zeros(3)]).astype(np.float32)),
-                jnp.zeros(6, jnp.float32)))
             # transIncre = lastImu^-1 * thisImu (rotation only)
             last = np.concatenate([self.last_imu_transform, np.zeros(3)]).astype(np.float32)
             this = np.concatenate([rpy, np.zeros(3)]).astype(np.float32)
@@ -311,13 +307,14 @@ class SlamPipeline:
         cur = n - 1
         d = np.linalg.norm(self.kf_poses[:n, 3:] - self.kf_poses[cur, 3:],
                            axis=1)
-        cand = np.where(
-            (d < p.history_keyframe_search_radius)
-            & (np.abs(self.kf_times[:n] - scan_time)
-               > p.history_keyframe_search_time_diff))[0]
-        if len(cand) == 0:
+        cand_mask = ((d < p.history_keyframe_search_radius)
+                     & (np.abs(self.kf_times[:n] - scan_time)
+                        > p.history_keyframe_search_time_diff))
+        if not cand_mask.any():
             return False
-        closest = int(cand[0])
+        # the reference walks the KD radius search in distance order and takes
+        # the first time-gated hit — i.e. the NEAREST candidate (ref :627-640)
+        closest = int(np.where(cand_mask, d, np.inf).argmin())
         if closest == cur:
             return False
 
@@ -325,7 +322,7 @@ class SlamPipeline:
         lo = max(0, closest - p.history_keyframe_search_num)
         hi = min(n, closest + p.history_keyframe_search_num + 1)
 
-        def world_cloud(indices, cap):
+        def world_cloud(indices, cap, leaf=None):
             pts = []
             for k in indices:
                 T = np.array(pose6_to_matrix(jnp.asarray(self.kf_poses[k])))
@@ -334,6 +331,12 @@ class SlamPipeline:
                     q = cl[m]
                     pts.append(q @ T[:3, :3].T + T[:3, 3])
             pts = np.concatenate(pts) if pts else np.zeros((0, 3), np.float32)
+            if leaf is not None and len(pts):
+                # downSizeFilterICP pass on the submap (ref :699-703, leaf =
+                # mappingSurfLeafSize, ref :192)
+                from .. import native
+
+                pts = native.voxel_downsample(pts.astype(np.float32), leaf)
             buf = np.zeros((cap, 3), np.float32)
             msk = np.zeros(cap, bool)
             m = min(len(pts), cap)
@@ -342,7 +345,8 @@ class SlamPipeline:
             return buf, msk
 
         src, src_m = world_cloud([cur], self.loop_submap_cap // 4)
-        dst, dst_m = world_cloud(range(lo, hi), self.loop_submap_cap)
+        dst, dst_m = world_cloud(range(lo, hi), self.loop_submap_cap,
+                                 leaf=p.mapping_surf_leaf_size)
 
         res = icp_align(jnp.asarray(src), jnp.asarray(src_m),
                         jnp.asarray(dst), jnp.asarray(dst_m),
@@ -396,7 +400,7 @@ class SlamPipeline:
             from ..ops.register import grid_register_step
             res = grid_register_step(
                 local_map, feats, jnp.asarray(self.pose),
-                half_extent=tuple(p.local_map_half_extent),
+                half_extent=tuple(p.slam_grid_half_extent),
                 max_iterations=p.max_gn_iterations,
                 min_correspondences=p.min_correspondences,
                 edge_min_valid=p.edge_feature_min_valid_num,
