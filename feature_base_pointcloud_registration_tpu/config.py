@@ -168,10 +168,14 @@ class Params:
     converge_delta_rot_deg: float = 0.05  # mapOptmization.h:1397
     converge_delta_trans_cm: float = 0.05
     local_map_half_extent: Tuple[float, float, float] = (30.0, 30.0, 10.0)  # mapOptmization.h:286
-    # SLAM-mode neighbor-grid box: the reference's SLAM path KD-searches the
-    # FULL surrounding-keyframe map (radius 50 m, mapOptmization.h:872), not
-    # the localization crop box — so the grid must span that radius.
-    slam_grid_half_extent: Tuple[float, float, float] = (60.0, 60.0, 25.0)
+    # Neighbor-grid box for grid_register_step (BOTH pipelines).  It must
+    # cover the surrounding-keyframe radius (50 m, mapOptmization.h:872)
+    # because the reference's SLAM path KD-searches the full surrounding map;
+    # the localization path's crop box (local_map_half_extent) is strictly
+    # inside it, so sharing one box also keeps a single compiled registration
+    # executable (two static variants trip a jax-0.9 executable-cache bug —
+    # see docs/ROUND_NOTES.md).
+    register_grid_half_extent: Tuple[float, float, float] = (60.0, 60.0, 25.0)
     imu_attitude_weight: float = 0.05    # mapOptmization.h:1452
 
     # --- TPU static-shape capacities (new; SURVEY.md §7 padding policy) ---

@@ -203,16 +203,20 @@ def optimize_imu_chain(d: ImuChainData, iterations: int = 5):
     def step(carry, _):
         states, lam, cost = carry
         H, grad = _assemble(d, states)
-        diag = jnp.diag(H)
-        damp = lam * jnp.maximum(diag, 1e-6) + jnp.where(active, 0.0, 1.0)
-        dx = jax.scipy.linalg.solve(H + jnp.diag(damp), -grad, assume_a="pos")
-        dx = jnp.where(active, dx, 0.0)
+        # Jacobi preconditioning + relative damping: see
+        # pose_graph.optimize_pose_graph for the f32-conditioning rationale.
+        pin = jnp.where(active, 0.0, 1.0)
+        dg = jnp.sqrt(jnp.maximum(jnp.diag(H), 1e-12)) + pin
+        Hs = H / (dg[:, None] * dg[None, :])
+        A = Hs + jnp.diag(lam * jnp.ones_like(dg) + pin)
+        dy = jax.scipy.linalg.solve(A, -grad / dg, assume_a="pos")
+        dx = jnp.where(active, dy / dg, 0.0)
         new_states = states + dx.reshape(K, STATE_DIM)
         new_cost = _cost(d, new_states)
         accept = new_cost < cost
         states = jnp.where(accept, new_states, states)
         cost = jnp.where(accept, new_cost, cost)
-        lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-9),
+        lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-6),
                         jnp.minimum(lam * 4.0, 1e6))
         return (states, lam, cost), None
 
@@ -223,24 +227,46 @@ def optimize_imu_chain(d: ImuChainData, iterations: int = 5):
 
 
 @jax.jit
-def assemble_chain_hessian(d: ImuChainData, states):
-    """Information matrix of the chain at `states` (inactive vars pinned)."""
-    H, _ = _assemble(d, states)
-    active = jnp.repeat(d.state_mask, STATE_DIM)
-    return H + jnp.diag(jnp.where(active, 0.0, 1.0))
+def chain_factor_blocks(d: ImuChainData, states):
+    """Whitened per-factor residual/Jacobian blocks at `states`."""
+    return _all_residuals_and_jacs(d, states)
 
 
 def state_marginal_covariance(d: ImuChainData, states, idx: int):
     """15x15 marginal covariance of state `idx` — the carried prior for the
     window reset (ref: src/imuPreintegration.cpp:241-253 reads
-    marginalCovariance(X/V/B(key-1)) into the new priors).  Host f64 solve
-    (see pose_graph.pose_marginal_covariance for why)."""
+    marginalCovariance(X/V/B(key-1)) into the new priors).  Blocks come
+    off-device in f32; the Hessian assembles + solves on host in f64 (see
+    pose_graph.pose_marginal_covariance for the f32-cancellation hazard)."""
     import numpy as np
 
-    H = np.asarray(assemble_chain_hessian(d, jnp.asarray(states)), np.float64)
-    D = H.shape[0]
-    rows = int(idx) * STATE_DIM + np.arange(STATE_DIM)
-    E = np.zeros((D, STATE_DIM))
-    E[rows, np.arange(STATE_DIM)] = 1.0
+    (r_imu, Ji, Jj), (r_b, Jbi, Jbj), (r_pp, Jpp), (r_0, J_0) = jax.tree.map(
+        lambda a: np.asarray(a, np.float64),
+        chain_factor_blocks(d, jnp.asarray(states)))
+    K = d.states.shape[0]
+    D = K * STATE_DIM
+    H = np.zeros((D, D))
+    S = STATE_DIM
+    ip = np.maximum(np.arange(K) - 1, 0)
+    ic = np.arange(K)
+
+    def add(ia, ib, Ja, Jb):
+        blocks = np.einsum("fab,fac->fbc", Ja, Jb)
+        for f in range(len(ia)):
+            H[ia[f] * S:(ia[f] + 1) * S, ib[f] * S:(ib[f] + 1) * S] += blocks[f]
+
+    for (Ja, Jb) in ((Ji, Jj), (Jbi, Jbj)):
+        add(ip, ip, Ja, Ja)
+        add(ic, ic, Jb, Jb)
+        add(ip, ic, Ja, Jb)
+        add(ic, ip, Jb, Ja)
+    add(ic, ic, Jpp, Jpp)
+    H[:S, :S] += J_0.T @ J_0
+    active = np.repeat(np.asarray(d.state_mask), S)
+    H[np.diag_indices(D)] += np.where(active, 0.0, 1.0)
+
+    rows = int(idx) * S + np.arange(S)
+    E = np.zeros((D, S))
+    E[rows, np.arange(S)] = 1.0
     X = np.linalg.solve(H, E)
     return X[rows]

@@ -205,18 +205,25 @@ def optimize_pose_graph(g: PoseGraphData, iterations: int = 10):
     def step(carry, _):
         poses, lam, cost = carry
         H, grad, _ = _assemble(g, poses, K)
-        # pin inactive variables; LM damping on the diagonal
-        diag = jnp.diag(H)
-        damp = lam * jnp.maximum(diag, 1e-6) + jnp.where(active, 0.0, 1.0)
-        Hd = H + jnp.diag(damp)
-        dx = jax.scipy.linalg.solve(Hd, -grad, assume_a="pos")
-        dx = jnp.where(active, dx, 0.0)
+        # Jacobi-precondition before the f32 Cholesky: factor weights span
+        # ~1e-8 (the wide gauge prior) to ~1e6 (tight betweens / fit-scaled
+        # loop factors), far beyond f32 solve conditioning — unscaled, the
+        # GN step comes out garbage, every LM step is rejected, and the
+        # optimizer stalls.  After scaling, uniform relative damping `lam`
+        # (floor 1e-6) bounds the condition number even along the
+        # global-translation gauge direction.
+        pin = jnp.where(active, 0.0, 1.0)
+        d = jnp.sqrt(jnp.maximum(jnp.diag(H), 1e-12)) + pin
+        Hs = H / (d[:, None] * d[None, :])
+        A = Hs + jnp.diag(lam * jnp.ones_like(d) + pin)
+        dy = jax.scipy.linalg.solve(A, -grad / d, assume_a="pos")
+        dx = jnp.where(active, dy / d, 0.0)
         new_poses = poses + dx.reshape(K, 6)
         new_cost = _total_cost(g, new_poses)
         accept = new_cost < cost
         poses = jnp.where(accept, new_poses, poses)
         cost = jnp.where(accept, new_cost, cost)
-        lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-9),
+        lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-6),
                         jnp.minimum(lam * 4.0, 1e6))
         return (poses, lam, cost), None
 
@@ -227,15 +234,11 @@ def optimize_pose_graph(g: PoseGraphData, iterations: int = 10):
 
 
 @jax.jit
-def assemble_hessian(g: PoseGraphData, poses):
-    """Gauss-Newton Hessian (J^T J) of the graph at `poses` — the
-    information matrix whose inverse blocks are the marginal covariances
-    (GTSAM isam->marginalCovariance analog, ref: src/mapOptmization.h:1706).
-    Inactive variables get a unit diagonal so the matrix stays invertible."""
-    K = g.poses.shape[0]
-    H, _, _ = _assemble(g, poses, K)
-    active = jnp.repeat(g.pose_mask, 6)
-    return H + jnp.diag(jnp.where(active, 0.0, 1.0))
+def graph_factor_blocks(g: PoseGraphData, poses):
+    """Whitened per-factor residuals + Jacobian blocks at `poses` (masked
+    entries zeroed) — the square-root-form inputs for host-side f64
+    marginal-covariance assembly."""
+    return _graph_cost_terms(g, poses)
 
 
 def pose_marginal_covariance(g: PoseGraphData, poses, idx: int):
@@ -244,15 +247,39 @@ def pose_marginal_covariance(g: PoseGraphData, poses, idx: int):
     The reference reads isam->marginalCovariance(latest) after every update
     (ref: src/mapOptmization.h:1706) to gate GPS factors (poseCovThreshold,
     ref :1596-1599) and to prime the preintegration reset priors
-    (ref: src/imuPreintegration.cpp:241-253).  The Hessian assembles on
-    device in f32; the solve runs on host in f64 because whitened factor
-    weights span ~1e-8 (the wide xyz prior) to ~1e6 (tight betweens) —
-    beyond f32 solve conditioning.
+    (ref: src/imuPreintegration.cpp:241-253).  The per-factor Jacobian
+    BLOCKS come off-device in f32 (their entries span ~1e-4, the wide xyz
+    prior, to ~1e3, tight betweens — individually representable), but the
+    Hessian is assembled and inverted on host in f64: in f32, summing the
+    1e-8-information prior into 1e6-scale between blocks annihilates the
+    only constraint on the global-translation gauge and H goes singular.
     """
     import numpy as np
 
-    H = np.asarray(assemble_hessian(g, jnp.asarray(poses)), np.float64)
-    D = H.shape[0]
+    (r_p, J_p), (r_b, J_bi, J_bj), (r_g, J_g) = jax.tree.map(
+        lambda a: np.asarray(a, np.float64),
+        graph_factor_blocks(g, jnp.asarray(poses)))
+    K = g.poses.shape[0]
+    D = K * 6
+    H = np.zeros((D, D))
+
+    def add(ia, ib, Ja, Jb):
+        blocks = np.einsum("fab,fac->fbc", Ja, Jb)
+        for f in range(len(ia)):
+            H[ia[f] * 6:(ia[f] + 1) * 6, ib[f] * 6:(ib[f] + 1) * 6] += blocks[f]
+
+    pi = np.asarray(g.prior_idx)
+    bi, bj = np.asarray(g.btw_i), np.asarray(g.btw_j)
+    gi = np.asarray(g.gps_idx)
+    add(pi, pi, J_p, J_p)
+    add(bi, bi, J_bi, J_bi)
+    add(bj, bj, J_bj, J_bj)
+    add(bi, bj, J_bi, J_bj)
+    add(bj, bi, J_bj, J_bi)
+    add(gi, gi, J_g, J_g)
+    active = np.repeat(np.asarray(g.pose_mask), 6)
+    H[np.diag_indices(D)] += np.where(active, 0.0, 1.0)
+
     rows = int(idx) * 6 + np.arange(6)
     E = np.zeros((D, 6))
     E[rows, np.arange(6)] = 1.0

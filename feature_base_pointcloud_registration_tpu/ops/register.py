@@ -543,10 +543,11 @@ def grid_register_step(local_map: FeatureMap, features: ScanFeatures, pose6,
     pipelines (one executable per half_extent, one compile).  The grid spans
     pose +- half_extent; the caller must size it so every map point that
     could hold a correspondence is inside the box: the localization path
-    passes the reference's crop box (ref src/mapOptmization.h:286, nothing
-    exists outside it), the SLAM path passes the larger
-    slam_grid_half_extent covering the surrounding-keyframe radius (ref
-    :872, the reference KD-searches the full surrounding map).
+    both pipelines pass register_grid_half_extent, which covers the
+    surrounding-keyframe radius (ref src/mapOptmization.h:872, the
+    reference's SLAM path KD-searches the full surrounding map) and
+    strictly contains the localization crop box (ref :286, nothing exists
+    outside it) — one box, one compiled executable.
     """
     from .hashgrid import (build_grid_sentinel_core, default_grid_spec,
                            grid_origin)

@@ -141,7 +141,7 @@ class LocalizationPipeline:
             map_corner_cap=p.map_corner_cap, map_surf_cap=p.map_surf_cap)
         res = grid_register_step(
             local_map, feats, guess_j,
-            half_extent=tuple(p.local_map_half_extent),
+            half_extent=tuple(p.register_grid_half_extent),
             max_iterations=p.max_gn_iterations,
             min_correspondences=p.min_correspondences,
             edge_min_valid=p.edge_feature_min_valid_num,

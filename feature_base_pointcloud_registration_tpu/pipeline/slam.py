@@ -80,6 +80,8 @@ class SlamPipeline:
     kf_corner_cap: int = 1024
     kf_surf_cap: int = 4096
     loop_submap_cap: int = 16384
+    opt_window: int = 32          # trailing-window size for incremental LM
+    window_gps_cap: int = 16      # in-window GPS factor slots
 
     def __post_init__(self):
         p = self.params
@@ -92,12 +94,24 @@ class SlamPipeline:
         self.kf_times = np.zeros(K, np.float64)
         self.n_keyframes = 0
 
-        # factor lists (host; converted to PoseGraphData on optimize)
-        self.btw_factors: List[tuple] = []   # (i, j, meas6, sigma6)
+        # factor storage (host; converted to PoseGraphData on optimize).
+        # Odometry betweens form a chain — entry j connects keyframe j-1 -> j
+        # (fixed-shape arrays so the window graph never re-jits); loop/GPS
+        # factors are sparse lists.
+        self.odom_meas = np.zeros((K, 6), np.float32)
+        self.odom_sigma = np.ones((K, 6), np.float32)
+        self.loop_factors: List[tuple] = []  # (i, j, meas6, sigma6)
         self.gps_factors: List[tuple] = []   # (i, xyz, sigma3)
         self.prior_factor = None
         self.gps_queue: List[tuple] = []     # (time, xyz, cov3)
         self.last_gps_point = np.zeros(3)
+
+        # marginal state for the incremental window (iSAM2 equivalents):
+        # poseCovariance (ref :1706) and the carried prior on the pose about
+        # to leave the window (the reference's own key==100 reset trick,
+        # ref: src/imuPreintegration.cpp:234-267, applied to the pose graph)
+        self.pose_cov = np.zeros((6, 6))
+        self.carried_prior_sigma = None      # sigma6 for window pose 0
 
         self.pose = np.zeros(6, np.float32)  # transformTobeMapped
         self.time_last_processing = -1.0
@@ -182,14 +196,18 @@ class SlamPipeline:
                                np.asarray(cov3, np.float64)))
 
     def _add_gps_factor(self, scan_time: float):
-        """addGPSFactor gating (ref :1543-1634), simplified covariance gate:
-        pose covariance is not tracked by the LM window, so the trajectory
-        length + spacing + noise gates apply."""
+        """addGPSFactor gating (ref :1543-1634)."""
         p = self.params
         n = self.n_keyframes
         if not self.gps_queue or n == 0:
             return
         if np.linalg.norm(self.kf_poses[0, 3:] - self.kf_poses[n - 1, 3:]) < 5.0:
+            return
+        # poseCovThreshold gate (ref :1596-1599): inject GPS only once the
+        # pose estimate has drifted uncertain — poseCovariance(3,3)/(4,4) are
+        # the x/y variances of the latest keyframe's marginal
+        if (self.pose_cov[3, 3] < p.pose_cov_threshold
+                and self.pose_cov[4, 4] < p.pose_cov_threshold):
             return
         while self.gps_queue:
             t, xyz, cov = self.gps_queue[0]
@@ -232,7 +250,8 @@ class SlamPipeline:
                 @ pose6_to_matrix(jnp.asarray(self.pose))))
             sigma = np.sqrt(np.array([1e-6, 1e-6, 1e-6, 1e-4, 1e-4, 1e-4],
                                      np.float32))
-            self.btw_factors.append((n - 1, n, rel.astype(np.float32), sigma))
+            self.odom_meas[n] = rel.astype(np.float32)
+            self.odom_sigma[n] = sigma
         self._add_gps_factor(scan_time)
 
         # store keyframe cloud snapshot (lidar frame, downsampled)
@@ -256,13 +275,22 @@ class SlamPipeline:
         self._optimize_graph()
 
     def _graph_data(self) -> PoseGraphData:
+        """Full graph (every keyframe + every factor), factor arrays padded
+        to powers of two so shapes re-jit only log-many times."""
+        n = self.n_keyframes
         K = self.max_keyframes
-        Fb = max(len(self.btw_factors), 1)
-        Fg = max(len(self.gps_factors), 1)
+        btw = ([(j - 1, j, self.odom_meas[j], self.odom_sigma[j])
+                for j in range(1, n)] + self.loop_factors)
+
+        def cap(m):
+            return 1 << max(int(np.ceil(np.log2(max(m, 1)))), 0)
+
+        Fb = cap(len(btw))
+        Fg = cap(len(self.gps_factors))
         g = PoseGraphData.empty(K, Fp=1, Fb=Fb, Fg=Fg)
         poses = jnp.asarray(self.kf_poses)
         mask = np.zeros(K, bool)
-        mask[: self.n_keyframes] = True
+        mask[:n] = True
         upd = dict(poses=poses, pose_mask=jnp.asarray(mask))
         if self.prior_factor is not None:
             i, meas, sigma = self.prior_factor
@@ -270,32 +298,133 @@ class SlamPipeline:
                        prior_meas=jnp.asarray(meas[None]),
                        prior_sigma=jnp.asarray(sigma[None]),
                        prior_mask=jnp.asarray([True]))
-        if self.btw_factors:
-            bi, bj, bm, bs = zip(*self.btw_factors)
-            upd.update(btw_i=jnp.asarray(bi, jnp.int32),
-                       btw_j=jnp.asarray(bj, jnp.int32),
-                       btw_meas=jnp.asarray(np.stack(bm)),
-                       btw_sigma=jnp.asarray(np.stack(bs)),
-                       btw_mask=jnp.ones(len(bi), bool))
+        if btw:
+            bi = np.zeros(Fb, np.int32)
+            bj = np.zeros(Fb, np.int32)
+            bm = np.zeros((Fb, 6), np.float32)
+            bs = np.ones((Fb, 6), np.float32)
+            bmask = np.zeros(Fb, bool)
+            for f, (i, j, m, s) in enumerate(btw):
+                bi[f], bj[f], bm[f], bs[f], bmask[f] = i, j, m, s, True
+            upd.update(btw_i=jnp.asarray(bi), btw_j=jnp.asarray(bj),
+                       btw_meas=jnp.asarray(bm), btw_sigma=jnp.asarray(bs),
+                       btw_mask=jnp.asarray(bmask))
         if self.gps_factors:
-            gi, gm, gs = zip(*self.gps_factors)
-            upd.update(gps_idx=jnp.asarray(gi, jnp.int32),
-                       gps_meas=jnp.asarray(np.stack(gm)),
-                       gps_sigma=jnp.asarray(np.stack(gs)),
-                       gps_mask=jnp.ones(len(gi), bool))
+            gi = np.zeros(Fg, np.int32)
+            gm = np.zeros((Fg, 3), np.float32)
+            gs = np.ones((Fg, 3), np.float32)
+            gmask = np.zeros(Fg, bool)
+            for f, (i, m, s) in enumerate(self.gps_factors):
+                gi[f], gm[f], gs[f], gmask[f] = i, m, s, True
+            upd.update(gps_idx=jnp.asarray(gi), gps_meas=jnp.asarray(gm),
+                       gps_sigma=jnp.asarray(gs), gps_mask=jnp.asarray(gmask))
         return g._replace(**upd)
 
+    def _window_graph_data(self) -> tuple:
+        """Trailing-window graph with FIXED shapes (one jit, flat cost).
+
+        Poses older than the window are marginalized the way the reference's
+        key==100 reset marginalizes the preintegration chain (ref:
+        src/imuPreintegration.cpp:234-267): the boundary pose enters as a
+        prior at its frozen estimate with sigma = sqrt(diag(marginal cov))
+        carried from the solve in which it was last active.
+        """
+        n = self.n_keyframes
+        W = self.opt_window
+        lo = max(0, n - W)
+        m = n - lo
+        g = PoseGraphData.empty(W, Fp=1, Fb=W, Fg=self.window_gps_cap)
+        poses = np.zeros((W, 6), np.float32)
+        poses[:m] = self.kf_poses[lo:n]
+        mask = np.zeros(W, bool)
+        mask[:m] = True
+        upd = dict(poses=jnp.asarray(poses), pose_mask=jnp.asarray(mask))
+        if lo == 0 and self.prior_factor is not None:
+            i, meas, sigma = self.prior_factor
+        else:
+            i = 0
+            meas = self.kf_poses[lo].copy()
+            sigma = (self.carried_prior_sigma
+                     if self.carried_prior_sigma is not None
+                     else np.full(6, 1e-3, np.float32))
+        upd.update(prior_idx=jnp.asarray([i], jnp.int32),
+                   prior_meas=jnp.asarray(np.asarray(meas, np.float32)[None]),
+                   prior_sigma=jnp.asarray(np.asarray(sigma, np.float32)[None]),
+                   prior_mask=jnp.asarray([True]))
+        # odometry chain inside the window
+        bi = np.zeros(W, np.int32)
+        bj = np.zeros(W, np.int32)
+        bm = np.zeros((W, 6), np.float32)
+        bs = np.ones((W, 6), np.float32)
+        bmask = np.zeros(W, bool)
+        f = 0
+        for j in range(lo + 1, n):
+            bi[f], bj[f] = j - 1 - lo, j - lo
+            bm[f], bs[f], bmask[f] = self.odom_meas[j], self.odom_sigma[j], True
+            f += 1
+        upd.update(btw_i=jnp.asarray(bi), btw_j=jnp.asarray(bj),
+                   btw_meas=jnp.asarray(bm), btw_sigma=jnp.asarray(bs),
+                   btw_mask=jnp.asarray(bmask))
+        # most recent in-window GPS factors
+        gi = np.zeros(self.window_gps_cap, np.int32)
+        gm = np.zeros((self.window_gps_cap, 3), np.float32)
+        gs = np.ones((self.window_gps_cap, 3), np.float32)
+        gmask = np.zeros(self.window_gps_cap, bool)
+        in_win = [fct for fct in self.gps_factors if fct[0] >= lo]
+        for f, (i_, m_, s_) in enumerate(in_win[-self.window_gps_cap:]):
+            gi[f], gm[f], gs[f], gmask[f] = i_ - lo, m_, s_, True
+        upd.update(gps_idx=jnp.asarray(gi), gps_meas=jnp.asarray(gm),
+                   gps_sigma=jnp.asarray(gs), gps_mask=jnp.asarray(gmask))
+        return g._replace(**upd), lo
+
     def _optimize_graph(self, iterations: int = 8):
-        poses, _ = optimize_pose_graph(self._graph_data(),
-                                       iterations=iterations)
-        poses = np.array(poses)
-        self.kf_poses[: self.n_keyframes] = poses[: self.n_keyframes]
-        self.pose = self.kf_poses[self.n_keyframes - 1].copy()
-        if self.a_loop_is_closed:
+        """iSAM2 update equivalent (ref :1658-1669).
+
+        Steady state runs LM over the trailing window only — O(W^3) per
+        keyframe, shapes fixed, one compiled executable.  Loop/GPS closures
+        (a_loop_is_closed) re-solve the FULL graph, which is exactly when the
+        reference calls extra isam updates + correctPoses (ref :1663-1669,
+        :1735-1770).  Loop factors reaching outside the window only ever
+        arrive through that full path.
+        """
+        from ..graph.pose_graph import pose_marginal_covariance
+
+        n = self.n_keyframes
+        closed = self.a_loop_is_closed
+        if closed:
+            g = self._graph_data()
+            poses, _ = optimize_pose_graph(g, iterations=iterations)
+            poses = np.array(poses)
+            self.kf_poses[:n] = poses[:n]
+            g = g._replace(poses=jnp.asarray(self.kf_poses))
+            self.pose_cov = pose_marginal_covariance(g, self.kf_poses, n - 1)
             # correctPoses (ref :1735-1770): all keyposes rewritten above;
             # bump the reset id so IMU preintegration re-initializes.
             self.reset_id += 1
             self.a_loop_is_closed = False
+            # re-prime the carried window prior from the corrected graph
+            lo = max(0, n - self.opt_window)
+            if lo > 0:
+                cov_lo = pose_marginal_covariance(g, self.kf_poses, lo)
+                self.carried_prior_sigma = np.sqrt(
+                    np.maximum(np.diag(cov_lo), 1e-12)).astype(np.float32)
+        else:
+            g, lo = self._window_graph_data()
+            poses, _ = optimize_pose_graph(g, iterations=iterations)
+            poses = np.array(poses)
+            m = n - lo
+            self.kf_poses[lo:n] = poses[:m]
+            win_poses = np.zeros_like(poses)
+            win_poses[:m] = self.kf_poses[lo:n]
+            g = g._replace(poses=jnp.asarray(win_poses))
+            self.pose_cov = pose_marginal_covariance(g, win_poses, m - 1)
+            if m == self.opt_window:
+                # window full: the oldest pose leaves next keyframe — carry
+                # its marginal as the next boundary prior
+                cov1 = pose_marginal_covariance(g, win_poses, 1)
+                self.carried_prior_sigma = np.sqrt(
+                    np.maximum(np.diag(cov1), 1e-12)).astype(np.float32)
+        self.pose = self.kf_poses[n - 1].copy()
 
     # ---------------------------------------------------------- loop closure
     def maybe_close_loop(self, scan_time: float) -> bool:
@@ -364,7 +493,7 @@ class SlamPipeline:
             @ pose6_to_matrix(jnp.asarray(self.kf_poses[closest]))))
         sigma = np.full(6, np.sqrt(max(float(res.fitness), 1e-6)), np.float32)
         # BetweenFactor(cur, closest) with fitness noise (ref :743-758)
-        self.btw_factors.append((cur, closest, rel.astype(np.float32), sigma))
+        self.loop_factors.append((cur, closest, rel.astype(np.float32), sigma))
         self.a_loop_is_closed = True
         self._optimize_graph(iterations=12)
         return True
@@ -400,7 +529,7 @@ class SlamPipeline:
             from ..ops.register import grid_register_step
             res = grid_register_step(
                 local_map, feats, jnp.asarray(self.pose),
-                half_extent=tuple(p.slam_grid_half_extent),
+                half_extent=tuple(p.register_grid_half_extent),
                 max_iterations=p.max_gn_iterations,
                 min_correspondences=p.min_correspondences,
                 edge_min_valid=p.edge_feature_min_valid_num,
