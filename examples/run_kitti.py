@@ -22,6 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from feature_base_pointcloud_registration_tpu.utils.cache import (
+    enable_persistent_cache)
+
+enable_persistent_cache()
+
 
 def _synth_outdoor_world(seed=0, n_objects=80, extent=35.0):
     """KITTI-like scattered structure: poles, boxes, and blobs (trees/cars/

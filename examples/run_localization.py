@@ -15,6 +15,11 @@ import time
 
 import numpy as np
 
+from feature_base_pointcloud_registration_tpu.utils.cache import (
+    enable_persistent_cache)
+
+enable_persistent_cache()
+
 
 def main():
     ap = argparse.ArgumentParser()

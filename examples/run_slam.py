@@ -13,6 +13,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from feature_base_pointcloud_registration_tpu.utils.cache import (
+    enable_persistent_cache)
+
+enable_persistent_cache()
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -614,3 +614,12 @@ class SlamPipeline:
             write_pcd(os.path.join(directory, name), {
                 "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
                 "intensity": np.zeros(len(pts), np.float32)})
+
+        # per-keyframe feature clouds (lidar frame) — beyond the reference's
+        # aggregate PCDs; lets multi-session merging re-render the map after
+        # per-keyframe pose corrections (pipeline/multisession.py)
+        np.savez_compressed(
+            os.path.join(directory, "keyframes.npz"),
+            poses=self.kf_poses[:n], times=self.kf_times[:n],
+            corner=self.kf_corner[:n], corner_mask=self.kf_corner_mask[:n],
+            surf=self.kf_surf[:n], surf_mask=self.kf_surf_mask[:n])
