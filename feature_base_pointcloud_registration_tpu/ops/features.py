@@ -117,29 +117,54 @@ def _ring_pick(ring_window, sector_cap, edge_threshold, surf_threshold,
     CAP = sector_cap
 
     # ---- precompute sorted candidate tables per sector [6, CAP] ----
+    # The sector window curv[sp:sp+CAP] is CONTIGUOUS — a dynamic_slice,
+    # not a gather; the sort carries (cval, slot) as payloads so no
+    # post-sort gathers are needed either.  tab_pos is affine in the
+    # permuted slot: pos = clip(sp + slot_sorted).
+    curv_pad = jnp.concatenate([curv, jnp.zeros((CAP,), curv.dtype)])
+
     def sector_table(sp, ep, ok):
         length = jnp.where(ok, ep - sp + 1, 0)
         slots = jnp.arange(CAP, dtype=jnp.int32)
-        pos = jnp.clip(sp + slots, 0, W - 1)
+        sp_c = jnp.clip(sp, 0, W - 1)
+        cwin = lax.dynamic_slice(curv_pad, (sp_c,), (CAP,))
         in_seg = slots < length
-        cval = jnp.where(in_seg, curv[pos], _INF)
+        cval = jnp.where(in_seg, cwin, _INF)
         # sort region excludes the last element (position ep): it keeps its
         # slot; padding (+inf keys) stays behind it in original order.
         sort_key = jnp.where(slots < length - 1, cval, _INF)
-        order = jnp.argsort(sort_key, stable=True)
-        return pos[order], cval[order], in_seg[order]
+        _, cval_o, slot_o = lax.sort((sort_key, cval, slots), num_keys=1,
+                                     is_stable=True)
+        pos_o = jnp.clip(sp_c + slot_o, 0, W - 1)
+        return pos_o, cval_o, slot_o < length
 
     js = jnp.arange(6, dtype=jnp.int32)
     tab_pos, tab_val, tab_valid = jax.vmap(
         lambda j: sector_table(sp_loc[j], ep_loc[j], sector_ok[j])
     )(js)  # [6, CAP]
 
-    # ---- build the serialized candidate stream ----
-    # per sector: corner phase = slots CAP-1..0 (descending curvature,
-    # ref :208), then (strict mode) surf phase = slots 0..CAP-1 (ref :245).
+    # Column-gap prefix counts for the suppression path check: a pick at
+    # pos_k suppresses candidate i iff |pos_i - pos_k| <= 5 and no column
+    # gap > 10 lies between them; the cumulative-gap early break
+    # (ref :227-240) collapses to equality of a gap-break prefix count:
+    # bc[i] = #\{j <= pos_i : |col[j]-col[j-1]| > 10\}, path clear
+    # <=> bc_i == bc_k.  (Both directions check the same gap set.)
+    gap_break = jnp.abs(col - jnp.roll(col, 1)) > 10
+    bcum = jnp.cumsum(gap_break.astype(jnp.int32))
     rev = jnp.flip(jnp.arange(CAP, dtype=jnp.int32))
     fwd = jnp.arange(CAP, dtype=jnp.int32)
+    # pack (gap-prefix, occlusion) so the candidate-position lookup is ONE
+    # two-wide gather instead of two one-wide gathers
+    bc_pick = jnp.stack([bcum.astype(jnp.float32),
+                         picked0.astype(jnp.float32)], -1)  # [W, 2]
+
     if strict:
+        # ---- serialized candidate stream over the whole ring ----
+        # per sector: corner phase = slots CAP-1..0 (descending curvature,
+        # ref :208), then surf phase = slots 0..CAP-1 (ref :245).  The
+        # greedy loop is sequential, but the carry lives in CANDIDATE space
+        # ([S] vectors) and every step is elementwise; labels scatter back
+        # to the window ONCE after the loop.
         stream_pos = jnp.concatenate(
             [jnp.concatenate([tab_pos[j][rev], tab_pos[j][fwd]])
              for j in range(6)])
@@ -153,67 +178,88 @@ def _ring_pick(ring_window, sector_cap, edge_threshold, surf_threshold,
         step_idx = jnp.arange(n_steps, dtype=jnp.int32)
         is_corner = (step_idx // CAP) % 2 == 0
         sector_start = step_idx % (2 * CAP) == 0
+
+        S = stream_pos.shape[0]
+        bp = bc_pick[stream_pos]                        # [S, 2] gather, once
+        bc = bp[:, 0].astype(jnp.int32)
+        alive0 = ~(bp[:, 1] > 0)
+        stream_idx = jnp.arange(S, dtype=jnp.int32)
+
+        def body(carry, xs):
+            suppressed, label_c, ccount = carry
+            pos_k, val_k, valid_k, corner_k, reset_k, bc_k, k = xs
+            ccount = jnp.where(reset_k, 0, ccount)
+
+            sel = stream_idx == k
+            picked_now = jnp.any(suppressed & sel)
+            qualify_c = (valid_k & corner_k & ~picked_now
+                         & (val_k > edge_threshold))
+            do_c = qualify_c & (ccount < 20)  # 21st breaks (ref :221)
+            ccount = ccount + qualify_c.astype(jnp.int32)
+            qualify_s = (valid_k & ~corner_k & ~picked_now
+                         & (val_k < surf_threshold))
+            do = do_c | qualify_s
+
+            supp_row = (jnp.abs(stream_pos - pos_k) <= 5) & (bc == bc_k)
+            suppressed = suppressed | (supp_row & do)
+            new_label = jnp.where(do_c, jnp.int8(1), jnp.int8(-1))
+            label_c = jnp.where(sel & do, new_label, label_c)
+            return (suppressed, label_c, ccount), None
+
+        (_, label_c, _), _ = lax.scan(
+            body,
+            (~alive0, jnp.zeros((S,), jnp.int8), jnp.int32(0)),
+            (stream_pos, stream_val, stream_valid, is_corner, sector_start,
+             bc, stream_idx),
+        )
+        label = jnp.zeros((W,), jnp.int8).at[stream_pos].add(label_c)
     else:
+        # ---- fast mode: sectors as PARALLEL scan lanes ----
+        # Only the top `corner_stream_cap` curvature candidates per sector
+        # run the serial corner pass (the reference picks <= 20 and only
+        # examines the descending tail anyway) and the surf pass is dropped
+        # (its label is irrelevant to the surface output: everything
+        # label <= 0 is gathered, ref :279-284).  Sectors are independent
+        # lanes: the per-sector pick cap (<= 20, ref :221) and the
+        # descending order are per-sector anyway, so the only coupling lost
+        # is +-5 suppression spill across a sector boundary (<= 5 points,
+        # same class as the documented ring-lane spill above).  The payoff:
+        # CC steps over [CC] carries instead of 6*CC steps over [6*CC]
+        # carries — ~36x less sequential-loop traffic.
         CC = min(corner_stream_cap, CAP)
         top = rev[:CC]  # highest-curvature CC slots, descending
-        stream_pos = jnp.concatenate([tab_pos[j][top] for j in range(6)])
-        stream_val = jnp.concatenate([tab_val[j][top] for j in range(6)])
-        stream_valid = jnp.concatenate([tab_valid[j][top] for j in range(6)])
-        n_steps = 6 * CC
-        step_idx = jnp.arange(n_steps, dtype=jnp.int32)
-        is_corner = jnp.ones((n_steps,), bool)
-        sector_start = step_idx % CC == 0
+        sec_pos = tab_pos[:, top]        # [6, CC]
+        sec_val = tab_val[:, top]
+        sec_valid = tab_valid[:, top]
+        bp6 = bc_pick[sec_pos]           # [6, CC, 2] gather, once
+        bc6 = bp6[..., 0].astype(jnp.int32)
+        alive6 = ~(bp6[..., 1] > 0)
 
-    # ---- candidate-space serial pick ----
-    # The greedy loop is sequential, but each step's work need not touch the
-    # [W] window: per-element scatters/gathers inside a vmapped lax.scan cost
-    # ~1 ms/step at batch 32 on TPU.  Instead the carry lives in CANDIDATE
-    # space ([S] vectors, S = stream length) and every step is elementwise:
-    #
-    #   * "picked" becomes a suppressed-candidates vector; a pick at pos_k
-    #     suppresses candidate i iff |pos_i - pos_k| <= 5 and no column gap
-    #     > 10 lies between them.  The cumulative-gap early break
-    #     (ref :227-240) collapses to equality of a gap-break prefix count:
-    #     bc[i] = #\{j <= pos_i : |col[j]-col[j-1]| > 10\}, path clear
-    #     <=> bc_i == bc_k.  (Both directions check the same gap set.)
-    #   * reading carry[k] uses a one-hot reduce, not a dynamic index.
-    #
-    # Labels scatter back to the window ONCE after the loop.
-    S = stream_pos.shape[0]
-    gap_break = jnp.abs(col - jnp.roll(col, 1)) > 10
-    bcum = jnp.cumsum(gap_break.astype(jnp.int32))
-    bc = bcum[stream_pos]                               # [S] gather, once
-    alive0 = ~picked0[stream_pos]                       # occlusion mask, once
-    stream_idx = jnp.arange(S, dtype=jnp.int32)
+        def sector_scan(pos_s, val_s, valid_s, bc_s, alive_s):
+            idx = jnp.arange(CC, dtype=jnp.int32)
 
-    def body(carry, xs):
-        suppressed, label_c, ccount = carry
-        pos_k, val_k, valid_k, corner_k, reset_k, bc_k, k = xs
-        ccount = jnp.where(reset_k, 0, ccount)
+            def body(carry, xs):
+                suppressed, label_s, ccount = carry
+                pos_k, val_k, valid_k, bc_k, k = xs
+                sel = idx == k
+                picked_now = jnp.any(suppressed & sel)
+                qualify_c = valid_k & ~picked_now & (val_k > edge_threshold)
+                do_c = qualify_c & (ccount < 20)
+                ccount = ccount + qualify_c.astype(jnp.int32)
+                supp_row = (jnp.abs(pos_s - pos_k) <= 5) & (bc_s == bc_k)
+                suppressed = suppressed | (supp_row & do_c)
+                label_s = jnp.where(sel & do_c, jnp.int8(1), label_s)
+                return (suppressed, label_s, ccount), None
 
-        sel = stream_idx == k
-        picked_now = jnp.any(suppressed & sel)
-        qualify_c = (valid_k & corner_k & ~picked_now
-                     & (val_k > edge_threshold))
-        do_c = qualify_c & (ccount < 20)  # 21st qualifier breaks (ref :221)
-        ccount = ccount + qualify_c.astype(jnp.int32)
-        qualify_s = (valid_k & ~corner_k & ~picked_now
-                     & (val_k < surf_threshold))
-        do = do_c | qualify_s
+            (_, label_s, _), _ = lax.scan(
+                body, (~alive_s, jnp.zeros((CC,), jnp.int8), jnp.int32(0)),
+                (pos_s, val_s, valid_s, bc_s, idx))
+            return label_s
 
-        supp_row = (jnp.abs(stream_pos - pos_k) <= 5) & (bc == bc_k)
-        suppressed = suppressed | (supp_row & do)
-        new_label = jnp.where(do_c, jnp.int8(1), jnp.int8(-1))
-        label_c = jnp.where(sel & do, new_label, label_c)
-        return (suppressed, label_c, ccount), None
-
-    (suppressed, label_c, _), _ = lax.scan(
-        body,
-        (~alive0, jnp.zeros((S,), jnp.int8), jnp.int32(0)),
-        (stream_pos, stream_val, stream_valid, is_corner, sector_start,
-         bc, stream_idx),
-    )
-    label = jnp.zeros((W,), jnp.int8).at[stream_pos].add(label_c)
+        label6 = jax.vmap(sector_scan)(sec_pos, sec_val, sec_valid,
+                                       bc6, alive6)
+        label = jnp.zeros((W,), jnp.int8).at[sec_pos.reshape(-1)].add(
+            label6.reshape(-1))
 
     # surface gathering covers every non-skipped sector span (ref :279-284)
     w_idx = jnp.arange(W, dtype=jnp.int32)
@@ -242,11 +288,26 @@ def _extract_features_impl(cloud: CloudInfo, edge_threshold, surf_threshold,
     MARGIN = 8
     W = horizon_scan + 2 * MARGIN
 
+    # The per-ring window [ws, ws+W) is CONTIGUOUS in the compacted array —
+    # a dynamic_slice of one packed [P, 8] buffer, NOT eight separate
+    # gathers.  (Flat 1-wide gathers were ~60% of the frontend's runtime:
+    # TPU gathers are row-rate-limited, slices are plain DMA.)
+    packed = jnp.concatenate(
+        [curv[:, None],
+         cloud.point_col_ind.astype(jnp.float32)[:, None],
+         picked0.astype(jnp.float32)[:, None],
+         cloud.point_valid.astype(jnp.float32)[:, None],
+         cloud.points,
+         jnp.zeros((P, 1), jnp.float32)], -1)
+    packed_pad = jnp.concatenate(
+        [jnp.zeros((W, 8), jnp.float32), packed,
+         jnp.zeros((W, 8), jnp.float32)])
+
     def gather_window(r):
         ws = ring_first[r] - MARGIN
         idx = ws + jnp.arange(W, dtype=jnp.int32)
         ok = (idx >= 0) & (idx < P)
-        idx_c = jnp.clip(idx, 0, P - 1)
+        win = lax.dynamic_slice(packed_pad, (ws + W, 0), (W, 8))
         sp = jnp.zeros((6,), jnp.int32)
         ep = jnp.zeros((6,), jnp.int32)
         for j in range(6):
@@ -256,11 +317,11 @@ def _extract_features_impl(cloud: CloudInfo, edge_threshold, surf_threshold,
             ep = ep.at[j].set(e - ws)
         sector_ok = sp < ep  # ref :199 skips sp >= ep
         return dict(
-            curv=jnp.where(ok, curv[idx_c], 0.0),
-            col=jnp.where(ok, cloud.point_col_ind[idx_c], -(10 ** 6)),
-            picked=jnp.where(ok, picked0[idx_c], True),
-            xyz=jnp.where(ok[:, None], cloud.points[idx_c], 0.0),
-            pvalid=ok & cloud.point_valid[idx_c],
+            curv=jnp.where(ok, win[:, 0], 0.0),
+            col=jnp.where(ok, win[:, 1].astype(jnp.int32), -(10 ** 6)),
+            picked=jnp.where(ok, win[:, 2] > 0, True),
+            xyz=jnp.where(ok[:, None], win[:, 4:7], 0.0),
+            pvalid=ok & (win[:, 3] > 0),
             sp=sp,
             ep=ep,
             sector_ok=sector_ok,
@@ -278,9 +339,13 @@ def _extract_features_impl(cloud: CloudInfo, edge_threshold, surf_threshold,
     corner_mask_w = (label == 1) & windows["pvalid"]
 
     def compact_ring(xyz, mask, cap):
-        order = jnp.argsort(~mask, stable=True)[:cap]
-        m = mask[order]
-        return jnp.where(m[:, None], xyz[order], 0.0), m
+        # payload sort (no post-sort gathers): valid entries first, stable
+        _, sx, sy, sz, smf = lax.sort(
+            ((~mask).astype(jnp.int32), xyz[:, 0], xyz[:, 1], xyz[:, 2],
+             mask.astype(jnp.float32)), num_keys=1, is_stable=True)
+        m = smf[:cap] > 0
+        out = jnp.stack([sx[:cap], sy[:cap], sz[:cap]], -1)
+        return jnp.where(m[:, None], out, 0.0), m
 
     corner_xyz, corner_mask = jax.vmap(
         lambda x, m: compact_ring(x, m, ring_corner_cap)

@@ -148,16 +148,24 @@ def _project_scan_impl(scan: RawScan, deskew_info: DeskewInfo, *, n_scan,
     grid_intensity = jnp.where(grid_valid, scan.intensity[wsafe], 0.0)
 
     # --- cloudExtraction: row-major compaction (ref :642-670) ---
-    # Stable sort pushes invalid cells to the back while keeping row-major
-    # order among valid ones; that reproduces the serial push_back order.
-    order = jnp.argsort(~grid_valid, stable=True)
+    # Valid cells keep row-major order; their compacted slot is the running
+    # count of valid cells before them — a cumsum + one fused 6-wide
+    # scatter, cheaper than the stable argsort-by-validity it replaces.
+    # (Invalid cells all target the dropped slot G, so the index stream is
+    # neither sorted nor unique — no scatter fast-path flags.)
     num_points = jnp.sum(grid_valid).astype(jnp.int32)
     comp_valid = jnp.arange(G) < num_points
-
-    comp_xyz = grid_xyz[order]
-    comp_range = jnp.where(comp_valid, grid_range[order], 0.0)
-    comp_intensity = grid_intensity[order]
-    comp_col = jnp.where(comp_valid, (order % horizon_scan).astype(jnp.int32), 0)
+    slot = jnp.where(grid_valid,
+                     jnp.cumsum(grid_valid.astype(jnp.int32)) - 1, G)
+    cols = (jnp.arange(G, dtype=jnp.int32) % horizon_scan).astype(jnp.float32)
+    packed = jnp.concatenate(
+        [grid_xyz, grid_range[:, None], grid_intensity[:, None],
+         cols[:, None]], -1)
+    comp = jnp.zeros((G + 1, 6), jnp.float32).at[slot].set(packed)[:G]
+    comp_xyz = comp[:, :3]
+    comp_range = jnp.where(comp_valid, comp[:, 3], 0.0)
+    comp_intensity = comp[:, 4]
+    comp_col = jnp.where(comp_valid, comp[:, 5].astype(jnp.int32), 0)
 
     # Ring start/end with the ±5 curvature margins (ref :650,668).
     ring_counts = jnp.sum(

@@ -25,33 +25,41 @@ _KEY_MAX = jnp.int32(2**30)
 def _voxel_impl(pts, mask, inv_leaf, cap):
     n = pts.shape[0]
     ijk = jnp.floor(pts * inv_leaf).astype(jnp.int32)  # PCL floor semantics
-    kx = jnp.where(mask, ijk[:, 0], _KEY_MAX)
-    ky = jnp.where(mask, ijk[:, 1], _KEY_MAX)
-    kz = jnp.where(mask, ijk[:, 2], _KEY_MAX)
 
-    # Lexicographic sort by (kx, ky, kz); invalids sort last.
-    order = jnp.lexsort((kz, ky, kx))
-    sx, sy, sz = kx[order], ky[order], kz[order]
-    sp = pts[order]
-    sm = mask[order]
+    # Single packed sort key (10 bits/axis, cells clamped to +-511): one
+    # sort instead of three.  Clamping collapses cells beyond ~leaf*511 m
+    # from the origin into boundary bins — far past every range gate in the
+    # pipeline (the reference's VoxelGrid also assumes a bounded box).
+    cx = jnp.clip(ijk[:, 0], -511, 511) + 512
+    cy = jnp.clip(ijk[:, 1], -511, 511) + 512
+    cz = jnp.clip(ijk[:, 2], -511, 511) + 512
+    key = jnp.where(mask, (cx << 20) | (cy << 10) | cz, _KEY_MAX)
+
+    # multi-operand sort: xyz+mask ride as payloads — no post-sort gathers
+    # (TPU gathers are row-rate-limited and cost more than the sort itself)
+    from jax import lax
+
+    sk, sx, sy, sz, smf = lax.sort(
+        (key, pts[:, 0], pts[:, 1], pts[:, 2], mask.astype(pts.dtype)),
+        num_keys=1, is_stable=False)
+    sp = jnp.stack([sx, sy, sz], -1)
+    sm = smf > 0
 
     same = jnp.concatenate(
-        [
-            jnp.zeros((1,), bool),
-            (sx[1:] == sx[:-1]) & (sy[1:] == sy[:-1]) & (sz[1:] == sz[:-1]),
-        ]
+        [jnp.zeros((1,), bool), sk[1:] == sk[:-1]]
     )
     is_new = sm & ~same
     voxel_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     voxel_id = jnp.where(sm, voxel_id, cap)  # invalid -> dropped
     voxel_id = jnp.minimum(voxel_id, cap)    # overflow voxels dropped
 
-    sums = jnp.zeros((cap + 1, 3), pts.dtype).at[voxel_id].add(
-        jnp.where(sm[:, None], sp, 0.0)
-    )[:cap]
-    counts = jnp.zeros((cap + 1,), jnp.float32).at[voxel_id].add(
-        sm.astype(jnp.float32)
-    )[:cap]
+    # One fused scatter-add of [xyz | 1]; voxel_id ascends after the sort,
+    # which unlocks XLA's sorted-scatter fast path on TPU.
+    vals = jnp.concatenate(
+        [jnp.where(sm[:, None], sp, 0.0), sm[:, None].astype(pts.dtype)], -1)
+    acc = jnp.zeros((cap + 1, 4), pts.dtype).at[voxel_id].add(
+        vals, indices_are_sorted=True)[:cap]
+    sums, counts = acc[:, :3], acc[:, 3]
 
     out_mask = counts > 0
     out = sums / jnp.maximum(counts, 1.0)[:, None]
