@@ -121,7 +121,12 @@ def main():
         return solve(frontend(raws), poses)
 
     def block(r):
+        # fetch a leaf value, not just block_until_ready: through the axon
+        # remote-TPU tunnel block_until_ready can return at dispatch time,
+        # while a host fetch must wait for the full queue to drain — the
+        # honest end-of-timing barrier
         jax.tree.map(lambda a: a.block_until_ready(), r)
+        np.asarray(jax.tree.leaves(r)[0])
         return r
 
     # warmup/compile

@@ -24,6 +24,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..config import Params, FLT_MAX
 from ..geom.se3 import euler_to_rot
@@ -143,29 +144,30 @@ def _project_scan_impl(scan: RawScan, deskew_info: DeskewInfo, *, n_scan,
     else:
         pts = scan.xyz
 
-    grid_range = jnp.where(grid_valid, rng[wsafe], FLT_MAX)
-    grid_xyz = jnp.where(grid_valid[:, None], pts[wsafe], 0.0)
-    grid_intensity = jnp.where(grid_valid, scan.intensity[wsafe], 0.0)
+    # One packed 5-wide gather at the winning point index (separate 1-wide
+    # gathers are row-rate-limited on TPU)
+    pdata = jnp.concatenate(
+        [pts, rng[:, None], scan.intensity[:, None]], -1)  # [N, 5]
+    grid_data = jnp.where(grid_valid[:, None], pdata[wsafe], 0.0)
+    grid_xyz = grid_data[:, :3]
+    grid_range = jnp.where(grid_valid, grid_data[:, 3], FLT_MAX)
+    grid_intensity = grid_data[:, 4]
 
     # --- cloudExtraction: row-major compaction (ref :642-670) ---
-    # Valid cells keep row-major order; their compacted slot is the running
-    # count of valid cells before them — a cumsum + one fused 6-wide
-    # scatter, cheaper than the stable argsort-by-validity it replaces.
-    # (Invalid cells all target the dropped slot G, so the index stream is
-    # neither sorted nor unique — no scatter fast-path flags.)
+    # Stable payload sort by validity: valid cells keep row-major order
+    # (the serial push_back order) and every channel rides the sort — no
+    # scatter, no post-sort gathers.
     num_points = jnp.sum(grid_valid).astype(jnp.int32)
     comp_valid = jnp.arange(G) < num_points
-    slot = jnp.where(grid_valid,
-                     jnp.cumsum(grid_valid.astype(jnp.int32)) - 1, G)
     cols = (jnp.arange(G, dtype=jnp.int32) % horizon_scan).astype(jnp.float32)
-    packed = jnp.concatenate(
-        [grid_xyz, grid_range[:, None], grid_intensity[:, None],
-         cols[:, None]], -1)
-    comp = jnp.zeros((G + 1, 6), jnp.float32).at[slot].set(packed)[:G]
-    comp_xyz = comp[:, :3]
-    comp_range = jnp.where(comp_valid, comp[:, 3], 0.0)
-    comp_intensity = comp[:, 4]
-    comp_col = jnp.where(comp_valid, comp[:, 5].astype(jnp.int32), 0)
+    _, cx, cy, cz, crng, cint, ccol = lax.sort(
+        ((~grid_valid).astype(jnp.int32), grid_xyz[:, 0], grid_xyz[:, 1],
+         grid_xyz[:, 2], grid_range, grid_intensity, cols),
+        num_keys=1, is_stable=True)
+    comp_xyz = jnp.stack([cx, cy, cz], -1)
+    comp_range = jnp.where(comp_valid, crng, 0.0)
+    comp_intensity = cint
+    comp_col = jnp.where(comp_valid, ccol.astype(jnp.int32), 0)
 
     # Ring start/end with the ±5 curvature margins (ref :650,668).
     ring_counts = jnp.sum(
