@@ -51,6 +51,9 @@ class ImuOdometry:
     max_samples: int = 1024   # per-interval IMU sample cap
 
     def __post_init__(self):
+        from ..utils.log import get_logger
+
+        self._log = get_logger()
         p = self.params
         self.system_initialized = False
         self.done_first_opt = False
@@ -138,6 +141,8 @@ class ImuOdometry:
         if not self.que_opt:
             return
         if reset_id != self.reset_id:
+            self._log.warn("imu/reset_id_mismatch", time=t,
+                           expected=self.reset_id, got=reset_id)
             self._reset_params()
             self.reset_id = reset_id
             return
@@ -205,6 +210,11 @@ class ImuOdometry:
 
         if bool(failure_detection(jnp.asarray(self.chain_states[k, 6:9]),
                                   self.prev_ba, self.prev_bg)):
+            # ROS_WARN("Large velocity/bias, reset IMU-preintegration!")
+            # analog (ref :392-411)
+            self._log.warn("imu/failure_reset", time=t,
+                           velocity=self.chain_states[k, 6:9],
+                           bias_acc=self.prev_ba, bias_gyr=self.prev_bg)
             self._reset_params()
             return
 

@@ -105,6 +105,9 @@ class LocalizationPipeline:
     global_map: GlobalMap
 
     def __post_init__(self):
+        from ..utils.log import get_logger
+
+        self._log = get_logger()
         self.pose = np.zeros(6, np.float32)       # chained guess (ref ip:206)
         self.time_last_processing = -1.0          # ref :135,279
         self.last_result: Optional[RegisterResult] = None
@@ -156,4 +159,11 @@ class LocalizationPipeline:
             pose6=jnp.where(res.valid, pose_fused, res.pose6))
         self.last_result = res
         self.pose = np.array(res.pose6)
+        # publishOdometry analog (ref :339-341, :1791-1848)
+        self._log.event(
+            "localization/odometry",
+            level="info" if bool(res.valid) else "warn",
+            time=timestamp, pose=self.pose, n_corr=res.n_corr,
+            iterations=res.iterations, converged=res.converged,
+            degenerate=res.is_degenerate, gate_valid=res.valid)
         return self.pose

@@ -84,6 +84,9 @@ class SlamPipeline:
     window_gps_cap: int = 16      # in-window GPS factor slots
 
     def __post_init__(self):
+        from ..utils.log import get_logger
+
+        self._log = get_logger()
         p = self.params
         K = self.max_keyframes
         self.kf_corner = np.zeros((K, self.kf_corner_cap, 3), np.float32)
@@ -232,6 +235,8 @@ class SlamPipeline:
                 sigma = np.sqrt(np.maximum(noise, 1.0)).astype(np.float32)
                 self.gps_factors.append((n, gps_xyz.astype(np.float32), sigma))
                 self.a_loop_is_closed = True
+                self._log.info("mapping/gps_factor", time=scan_time,
+                               keyframe=n, xyz=gps_xyz, sigma=sigma)
                 break
 
     def _save_keyframe(self, feats: ScanFeatures, scan_time: float):
@@ -496,6 +501,9 @@ class SlamPipeline:
         self.loop_factors.append((cur, closest, rel.astype(np.float32), sigma))
         self.a_loop_is_closed = True
         self._optimize_graph(iterations=12)
+        self._log.info("mapping/loop_closure", time=scan_time, cur=cur,
+                       closest=closest, fitness=float(res.fitness),
+                       reset_id=self.reset_id)
         return True
 
     # ----------------------------------------------------------------- step
@@ -541,9 +549,20 @@ class SlamPipeline:
                 rotation_tolerance=p.rotation_tolerance,
                 z_tolerance=p.z_tolerance)
             self.pose = np.array(jnp.where(res.valid, pose, res.pose6))
+            # publishOdometry analog (ref :1791-1848): the event stream
+            # carries what the reference puts on its publishers
+            self._log.event(
+                "mapping/odometry",
+                level="info" if bool(res.valid) else "warn",
+                time=timestamp, pose=self.pose,
+                n_corr=res.n_corr, iterations=res.iterations,
+                converged=res.converged, degenerate=res.is_degenerate,
+                gate_valid=res.valid, reset_id=self.reset_id)
 
         if self._is_keyframe():
             self._save_keyframe(feats, timestamp)
+            self._log.info("mapping/keyframe", time=timestamp,
+                           index=self.n_keyframes - 1, pose=self.pose)
             if p.loop_closure_enable_flag:
                 self.maybe_close_loop(timestamp)
 
