@@ -348,6 +348,48 @@ def merge_sessions(key, sess_a: Session, sess_b: Session, *,
                        align_fitness)
 
 
+def merged_session(result: MergeResult, sess_a: Session,
+                   sess_b: Session) -> Session:
+    """Fold an optimized merge into ONE session (A's frame): concatenated
+    keyframes at their optimized poses.  Enables chaining N sessions:
+    merge_many folds each new session into the running merged one."""
+    if (sess_a.corner.shape[1:] != sess_b.corner.shape[1:]
+            or sess_a.surf.shape[1:] != sess_b.surf.shape[1:]):
+        raise ValueError(
+            "sessions have different per-keyframe cloud capacities "
+            f"({sess_a.corner.shape} vs {sess_b.corner.shape}); record "
+            "them with the same pipeline caps before merging")
+    return Session(
+        poses=np.concatenate([result.poses_a, result.poses_b]),
+        times=np.concatenate([sess_a.times, sess_b.times]),
+        corner=np.concatenate([sess_a.corner, sess_b.corner]),
+        corner_mask=np.concatenate([sess_a.corner_mask,
+                                    sess_b.corner_mask]),
+        surf=np.concatenate([sess_a.surf, sess_b.surf]),
+        surf_mask=np.concatenate([sess_a.surf_mask, sess_b.surf_mask]))
+
+
+def merge_many(key, sessions, **kw) -> Session:
+    """Merge N sessions into the first session's frame.
+
+    Pairwise left fold: each session is aligned + jointly optimized
+    against the accumulated merged session (whose keyframes act as the
+    'A' trajectory), so later sessions link against ALL earlier coverage.
+    Returns the final merged Session; pass it to save_merged-style
+    rendering or build a localization map from its keyframes.
+    """
+    import jax
+
+    if len(sessions) == 0:
+        raise ValueError("need at least one session")
+    acc = sessions[0]
+    for s in sessions[1:]:
+        key, sub = jax.random.split(key)
+        res = merge_sessions(sub, acc, s, **kw)
+        acc = merged_session(res, acc, s)
+    return acc
+
+
 def save_merged_map(directory: str, result: MergeResult,
                     sess_a: Session, sess_b: Session, *,
                     leaf: float = 0.2):

@@ -145,3 +145,32 @@ def test_session_npz_roundtrip(tmp_path):
     s2 = load_session(d)
     np.testing.assert_array_equal(s2.poses, sa.poses)
     np.testing.assert_array_equal(s2.surf_mask, sa.surf_mask)
+
+
+def test_merge_many_three_sessions():
+    """N-session fold: a third pass merges against the accumulated map."""
+    world = _make_world()
+    offs = [None,
+            np.array([0, 0, 0.15, 1.2, -0.8, 0.1], np.float32),
+            np.array([0, 0, -0.1, -0.9, 0.7, 0.0], np.float32)]
+    ys = [-2.0, 0.5, -0.5]
+    sessions = []
+    for i, (off, y) in enumerate(zip(offs, ys)):
+        gts = [np.array([0, 0, 0, -4.0 + 1.5 * k, y, 0.0], np.float32)
+               for k in range(7)]
+        sessions.append(_session(world, gts, frame_offset=off, seed=i + 1))
+
+    import jax
+    from feature_base_pointcloud_registration_tpu.pipeline.multisession \
+        import merge_many
+
+    merged = merge_many(jax.random.PRNGKey(3), sessions, coarse=False,
+                        link_radius=6.0, link_stride=2)
+    assert merged.n == 21
+    # every keyframe's optimized pose must land near its ground truth in
+    # session 1's frame (== world frame here)
+    gt_all = np.concatenate(
+        [[np.array([0, 0, 0, -4.0 + 1.5 * k, y, 0.0], np.float32)
+          for k in range(7)] for y in ys])
+    err = np.linalg.norm(merged.poses[:, 3:] - gt_all[:, 3:], axis=1)
+    assert err.max() < 0.15, err.max()
