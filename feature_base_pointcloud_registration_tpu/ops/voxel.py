@@ -26,13 +26,16 @@ def _voxel_impl(pts, mask, inv_leaf, cap):
     n = pts.shape[0]
     ijk = jnp.floor(pts * inv_leaf).astype(jnp.int32)  # PCL floor semantics
 
-    # Single packed sort key (10 bits/axis, cells clamped to +-511): one
-    # sort instead of three.  Clamping collapses cells beyond ~leaf*511 m
-    # from the origin into boundary bins — far past every range gate in the
-    # pipeline (the reference's VoxelGrid also assumes a bounded box).
-    cx = jnp.clip(ijk[:, 0], -511, 511) + 512
-    cy = jnp.clip(ijk[:, 1], -511, 511) + 512
-    cz = jnp.clip(ijk[:, 2], -511, 511) + 512
+    # Single packed sort key (10 bits/axis): one sort instead of three.
+    # Cells are rebased to the cloud's own minimum cell, so the packing
+    # supports a 1023-cell extent PER AXIS (e.g. ~204 m at 0.2 m leaf)
+    # anywhere in space; beyond that, cells clamp into the boundary bin
+    # (the reference's VoxelGrid also assumes a bounded box).
+    base = jnp.min(jnp.where(mask[:, None], ijk, 2**30), axis=0)
+    rel = ijk - base
+    cx = jnp.clip(rel[:, 0], 0, 1023)
+    cy = jnp.clip(rel[:, 1], 0, 1023)
+    cz = jnp.clip(rel[:, 2], 0, 1023)
     key = jnp.where(mask, (cx << 20) | (cy << 10) | cz, _KEY_MAX)
 
     # multi-operand sort: xyz+mask ride as payloads — no post-sort gathers

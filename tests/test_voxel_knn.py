@@ -60,3 +60,29 @@ def test_cropbox_order_and_bounds():
     inside = (np.abs(pts - np.array(center)) <= np.array(he)).all(1)
     assert int(cnt) == inside.sum()
     np.testing.assert_allclose(np.array(out)[np.array(m)], pts[inside])
+
+
+def test_voxel_far_from_origin():
+    """Packed-key binning must stay correct far from the origin (the key
+    is rebased to the cloud's min cell, not clamped around zero)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from feature_base_pointcloud_registration_tpu.ops.voxel import (
+        voxel_downsample)
+
+    rng = np.random.RandomState(0)
+    base = np.array([850.0, -620.0, 140.0], np.float32)
+    pts = base + rng.uniform(0, 4.0, (256, 3)).astype(np.float32)
+    out, mask, n = voxel_downsample(jnp.asarray(pts),
+                                    jnp.ones(256, bool), 0.2, 512)
+    out = np.asarray(out)[np.asarray(mask)]
+    # brute-force centroids
+    ijk = np.floor(pts / 0.2).astype(np.int64)
+    keys = {}
+    for p, c in zip(pts, map(tuple, ijk)):
+        keys.setdefault(c, []).append(p)
+    ref = np.stack([np.mean(v, axis=0) for v in keys.values()])
+    assert len(out) == len(ref)
+    # match sets (order-independent)
+    d = np.linalg.norm(out[:, None] - ref[None], axis=-1).min(1)
+    assert d.max() < 1e-4, d.max()
