@@ -241,8 +241,9 @@ def graph_factor_blocks(g: PoseGraphData, poses):
     return _graph_cost_terms(g, poses)
 
 
-def pose_marginal_covariance(g: PoseGraphData, poses, idx: int):
-    """6x6 marginal covariance [rot(3), trans(3)] of pose `idx`.
+def pose_marginal_covariances(g: PoseGraphData, poses, idxs,
+                              active: int | None = None):
+    """6x6 marginal covariances of several poses from ONE factorization.
 
     The reference reads isam->marginalCovariance(latest) after every update
     (ref: src/mapOptmization.h:1706) to gate GPS factors (poseCovThreshold,
@@ -253,6 +254,12 @@ def pose_marginal_covariance(g: PoseGraphData, poses, idx: int):
     Hessian is assembled and inverted on host in f64: in f32, summing the
     1e-8-information prior into 1e6-scale between blocks annihilates the
     only constraint on the global-translation gauge and H goes singular.
+
+    `active` restricts assembly + solve to the first `active` poses (all
+    factor endpoints must lie below it, true for the SLAM graph's padded
+    storage) — without it, a padded K=512 graph with 10 live keyframes
+    would factorize a dense 3072x3072 anyway.  All requested `idxs` share
+    one assembly and one factorization (multiple RHS columns).
     """
     import numpy as np
 
@@ -260,13 +267,18 @@ def pose_marginal_covariance(g: PoseGraphData, poses, idx: int):
         lambda a: np.asarray(a, np.float64),
         graph_factor_blocks(g, jnp.asarray(poses)))
     K = g.poses.shape[0]
-    D = K * 6
+    n = K if active is None else min(int(active), K)
+    if any(int(i) >= n for i in idxs):
+        raise ValueError(f"requested pose index >= active count {n}")
+    D = n * 6
     H = np.zeros((D, D))
 
     def add(ia, ib, Ja, Jb):
         blocks = np.einsum("fab,fac->fbc", Ja, Jb)
         for f in range(len(ia)):
-            H[ia[f] * 6:(ia[f] + 1) * 6, ib[f] * 6:(ib[f] + 1) * 6] += blocks[f]
+            a, b = ia[f], ib[f]
+            if a < n and b < n:
+                H[a * 6:(a + 1) * 6, b * 6:(b + 1) * 6] += blocks[f]
 
     pi = np.asarray(g.prior_idx)
     bi, bj = np.asarray(g.btw_i), np.asarray(g.btw_j)
@@ -277,11 +289,18 @@ def pose_marginal_covariance(g: PoseGraphData, poses, idx: int):
     add(bi, bj, J_bi, J_bj)
     add(bj, bi, J_bj, J_bi)
     add(gi, gi, J_g, J_g)
-    active = np.repeat(np.asarray(g.pose_mask), 6)
-    H[np.diag_indices(D)] += np.where(active, 0.0, 1.0)
+    active_rows = np.repeat(np.asarray(g.pose_mask)[:n], 6)
+    H[np.diag_indices(D)] += np.where(active_rows, 0.0, 1.0)
 
-    rows = int(idx) * 6 + np.arange(6)
-    E = np.zeros((D, 6))
-    E[rows, np.arange(6)] = 1.0
+    cols = np.concatenate([int(i) * 6 + np.arange(6) for i in idxs])
+    E = np.zeros((D, len(cols)))
+    E[cols, np.arange(len(cols))] = 1.0
     X = np.linalg.solve(H, E)
-    return X[rows]
+    return [X[int(i) * 6 + np.arange(6)][:, k * 6:(k + 1) * 6]
+            for k, i in enumerate(idxs)]
+
+
+def pose_marginal_covariance(g: PoseGraphData, poses, idx: int,
+                             active: int | None = None):
+    """6x6 marginal covariance [rot(3), trans(3)] of pose `idx`."""
+    return pose_marginal_covariances(g, poses, [idx], active=active)[0]

@@ -26,30 +26,30 @@ def _voxel_impl(pts, mask, inv_leaf, cap):
     n = pts.shape[0]
     ijk = jnp.floor(pts * inv_leaf).astype(jnp.int32)  # PCL floor semantics
 
-    # Single packed sort key (10 bits/axis): one sort instead of three.
-    # Cells are rebased to the cloud's own minimum cell, so the packing
-    # supports a 1023-cell extent PER AXIS (e.g. ~204 m at 0.2 m leaf)
-    # anywhere in space; beyond that, cells clamp into the boundary bin
-    # (the reference's VoxelGrid also assumes a bounded box).
+    # Two packed sort keys instead of three: x cells alone (unbounded),
+    # y/z cells rebased to the cloud's own minimum and packed 15+15 bits
+    # (32767-cell extent per axis, e.g. ~6.5 km at 0.2 m leaf — far past
+    # any realistic cloud; beyond that, cells clamp into boundary bins).
     base = jnp.min(jnp.where(mask[:, None], ijk, 2**30), axis=0)
     rel = ijk - base
-    cx = jnp.clip(rel[:, 0], 0, 1023)
-    cy = jnp.clip(rel[:, 1], 0, 1023)
-    cz = jnp.clip(rel[:, 2], 0, 1023)
-    key = jnp.where(mask, (cx << 20) | (cy << 10) | cz, _KEY_MAX)
+    k1 = jnp.where(mask, rel[:, 0], _KEY_MAX)
+    cy = jnp.clip(rel[:, 1], 0, 32767)
+    cz = jnp.clip(rel[:, 2], 0, 32767)
+    k2 = (cy << 15) | cz
 
     # multi-operand sort: xyz+mask ride as payloads — no post-sort gathers
     # (TPU gathers are row-rate-limited and cost more than the sort itself)
     from jax import lax
 
-    sk, sx, sy, sz, smf = lax.sort(
-        (key, pts[:, 0], pts[:, 1], pts[:, 2], mask.astype(pts.dtype)),
-        num_keys=1, is_stable=False)
+    sk1, sk2, sx, sy, sz, smf = lax.sort(
+        (k1, k2, pts[:, 0], pts[:, 1], pts[:, 2], mask.astype(pts.dtype)),
+        num_keys=2, is_stable=False)
     sp = jnp.stack([sx, sy, sz], -1)
     sm = smf > 0
 
     same = jnp.concatenate(
-        [jnp.zeros((1,), bool), sk[1:] == sk[:-1]]
+        [jnp.zeros((1,), bool),
+         (sk1[1:] == sk1[:-1]) & (sk2[1:] == sk2[:-1])]
     )
     is_new = sm & ~same
     voxel_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1

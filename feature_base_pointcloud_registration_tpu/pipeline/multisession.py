@@ -83,26 +83,6 @@ def _pose_mats(poses: np.ndarray) -> np.ndarray:
     return np.array(jax.vmap(pose6_to_matrix)(jnp.asarray(poses)))
 
 
-def _world_cloud(sess: Session, indices, transforms: np.ndarray,
-                 leaf: Optional[float] = None) -> np.ndarray:
-    """Keyframe clouds rendered into the session's world frame."""
-    pts = []
-    for k in indices:
-        T = transforms[k]
-        for cl, m in ((sess.corner[k], sess.corner_mask[k]),
-                      (sess.surf[k], sess.surf_mask[k])):
-            q = cl[m]
-            if len(q):
-                pts.append(q @ T[:3, :3].T + T[:3, 3])
-    out = (np.concatenate(pts).astype(np.float32) if pts
-           else np.zeros((0, 3), np.float32))
-    if leaf is not None and len(out):
-        from .. import native
-
-        out = native.voxel_downsample(out, leaf)
-    return out
-
-
 def _world_cloud_one(sess: Session, indices, transforms: np.ndarray,
                      which: str, leaf: Optional[float] = None) -> np.ndarray:
     """Corner-only or surf-only keyframe clouds in the world frame."""
@@ -151,8 +131,16 @@ def align_sessions(key, sess_a: Session, sess_b: Session, *,
     """
     Ta = _pose_mats(sess_a.poses)
     Tb = _pose_mats(sess_b.poses)
-    a_pts = _world_cloud(sess_a, range(sess_a.n), Ta, leaf=leaf)
-    b_pts = _world_cloud(sess_b, range(sess_b.n), Tb, leaf=leaf)
+    def both(sess, T):
+        pts = np.concatenate(
+            [_world_cloud_one(sess, range(sess.n), T, "corner"),
+             _world_cloud_one(sess, range(sess.n), T, "surf")])
+        from .. import native
+
+        return native.voxel_downsample(pts, leaf) if len(pts) else pts
+
+    a_pts = both(sess_a, Ta)
+    b_pts = both(sess_b, Tb)
     dst, dst_m = _pad(a_pts, cap)
     src, src_m = _pad(b_pts, cap)
 
@@ -235,13 +223,7 @@ def merge_sessions(key, sess_a: Session, sess_b: Session, *,
 
     def repad(xyz, mask, cap):
         """Re-pad a (N,3)+(N,) masked cloud to capacity `cap`."""
-        q = np.asarray(xyz)[np.asarray(mask)]
-        buf = np.zeros((cap, 3), np.float32)
-        msk = np.zeros(cap, bool)
-        m = min(len(q), cap)
-        buf[:m] = q[:m]
-        msk[:m] = True
-        return jnp.asarray(buf), jnp.asarray(msk)
+        return _pad(np.asarray(xyz)[np.asarray(mask)], cap)
 
     links: List[CrossLink] = []
     a_xyz = Ta[:, :3, 3]
@@ -402,23 +384,15 @@ def save_merged_map(directory: str, result: MergeResult,
     Ta = _pose_mats(result.poses_a)
     Tb = _pose_mats(result.poses_b)
 
-    def render(sess, mats, which):
-        pts = []
-        clouds = sess.corner if which == "corner" else sess.surf
-        masks = sess.corner_mask if which == "corner" else sess.surf_mask
-        for k in range(sess.n):
-            q = clouds[k][masks[k]]
-            if len(q):
-                pts.append(q @ mats[k, :3, :3].T + mats[k, :3, 3])
-        return (np.concatenate(pts).astype(np.float32) if pts
-                else np.zeros((0, 3), np.float32))
-
     from .. import native
 
-    corner = np.concatenate([render(sess_a, Ta, "corner"),
-                             render(sess_b, Tb, "corner")])
-    surf = np.concatenate([render(sess_a, Ta, "surf"),
-                           render(sess_b, Tb, "surf")])
+    def render(which):
+        return np.concatenate(
+            [_world_cloud_one(sess_a, range(sess_a.n), Ta, which),
+             _world_cloud_one(sess_b, range(sess_b.n), Tb, which)])
+
+    corner = render("corner")
+    surf = render("surf")
     if len(corner):
         corner = native.voxel_downsample(corner, leaf)
     if len(surf):

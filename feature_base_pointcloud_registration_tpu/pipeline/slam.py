@@ -82,6 +82,8 @@ class SlamPipeline:
     loop_submap_cap: int = 16384
     opt_window: int = 32          # trailing-window size for incremental LM
     window_gps_cap: int = 16      # in-window GPS factor slots
+    loop_factor_cap: int = 64     # full-graph loop-factor slots (fixed shape)
+    gps_factor_cap: int = 256     # full-graph GPS-factor slots (fixed shape)
 
     def __post_init__(self):
         from ..utils.log import get_logger
@@ -287,11 +289,23 @@ class SlamPipeline:
         btw = ([(j - 1, j, self.odom_meas[j], self.odom_sigma[j])
                 for j in range(1, n)] + self.loop_factors)
 
-        def cap(m):
-            return 1 << max(int(np.ceil(np.log2(max(m, 1)))), 0)
-
-        Fb = cap(len(btw))
-        Fg = cap(len(self.gps_factors))
+        # FIXED factor capacities: the full-graph solve must compile
+        # exactly once per process — growing shapes would trigger repeat
+        # same-function compiles, the jax-0.9 executable-cache TPU hazard
+        # (docs/ROUND_NOTES.md).  Overflowing factors are dropped oldest-
+        # first with a warning (bounded by max_keyframes anyway for the
+        # odometry chain).
+        Fb = K + self.loop_factor_cap
+        Fg = self.gps_factor_cap
+        if len(btw) > Fb:
+            self._log.warn("mapping/factor_overflow", kind="between",
+                           dropped=len(btw) - Fb)
+            btw = btw[len(btw) - Fb:]
+        gps_factors = self.gps_factors
+        if len(gps_factors) > Fg:
+            self._log.warn("mapping/factor_overflow", kind="gps",
+                           dropped=len(gps_factors) - Fg)
+            gps_factors = gps_factors[len(gps_factors) - Fg:]
         g = PoseGraphData.empty(K, Fp=1, Fb=Fb, Fg=Fg)
         poses = jnp.asarray(self.kf_poses)
         mask = np.zeros(K, bool)
@@ -314,12 +328,12 @@ class SlamPipeline:
             upd.update(btw_i=jnp.asarray(bi), btw_j=jnp.asarray(bj),
                        btw_meas=jnp.asarray(bm), btw_sigma=jnp.asarray(bs),
                        btw_mask=jnp.asarray(bmask))
-        if self.gps_factors:
+        if gps_factors:
             gi = np.zeros(Fg, np.int32)
             gm = np.zeros((Fg, 3), np.float32)
             gs = np.ones((Fg, 3), np.float32)
             gmask = np.zeros(Fg, bool)
-            for f, (i, m, s) in enumerate(self.gps_factors):
+            for f, (i, m, s) in enumerate(gps_factors):
                 gi[f], gm[f], gs[f], gmask[f] = i, m, s, True
             upd.update(gps_idx=jnp.asarray(gi), gps_meas=jnp.asarray(gm),
                        gps_sigma=jnp.asarray(gs), gps_mask=jnp.asarray(gmask))
@@ -392,27 +406,35 @@ class SlamPipeline:
         :1735-1770).  Loop factors reaching outside the window only ever
         arrive through that full path.
         """
-        from ..graph.pose_graph import pose_marginal_covariance
+        from ..graph.pose_graph import pose_marginal_covariances
+
+        def carry_sigma(cov):
+            return np.sqrt(np.maximum(np.diag(cov), 1e-12)).astype(np.float32)
 
         n = self.n_keyframes
         closed = self.a_loop_is_closed
         if closed:
             g = self._graph_data()
-            poses, _ = optimize_pose_graph(g, iterations=iterations)
+            # iterations pinned: full-graph solves must reuse ONE compiled
+            # executable (iterations is a trace-time constant)
+            poses, _ = optimize_pose_graph(g, iterations=12)
             poses = np.array(poses)
             self.kf_poses[:n] = poses[:n]
             g = g._replace(poses=jnp.asarray(self.kf_poses))
-            self.pose_cov = pose_marginal_covariance(g, self.kf_poses, n - 1)
+            # the NEXT keyframe's window starts at max(0, n+1-W): carry
+            # that boundary pose's marginal; both marginals share one
+            # host factorization, restricted to the n active poses
+            lo_next = max(0, n + 1 - self.opt_window)
+            idxs = [n - 1] + ([lo_next] if lo_next > 0 else [])
+            covs = pose_marginal_covariances(g, self.kf_poses, idxs,
+                                             active=n)
+            self.pose_cov = covs[0]
+            if lo_next > 0:
+                self.carried_prior_sigma = carry_sigma(covs[1])
             # correctPoses (ref :1735-1770): all keyposes rewritten above;
             # bump the reset id so IMU preintegration re-initializes.
             self.reset_id += 1
             self.a_loop_is_closed = False
-            # re-prime the carried window prior from the corrected graph
-            lo = max(0, n - self.opt_window)
-            if lo > 0:
-                cov_lo = pose_marginal_covariance(g, self.kf_poses, lo)
-                self.carried_prior_sigma = np.sqrt(
-                    np.maximum(np.diag(cov_lo), 1e-12)).astype(np.float32)
         else:
             g, lo = self._window_graph_data()
             poses, _ = optimize_pose_graph(g, iterations=iterations)
@@ -422,13 +444,13 @@ class SlamPipeline:
             win_poses = np.zeros_like(poses)
             win_poses[:m] = self.kf_poses[lo:n]
             g = g._replace(poses=jnp.asarray(win_poses))
-            self.pose_cov = pose_marginal_covariance(g, win_poses, m - 1)
+            # window full: the oldest pose leaves next keyframe — carry its
+            # marginal as the next boundary prior (one factorization)
+            idxs = [m - 1] + ([1] if m == self.opt_window else [])
+            covs = pose_marginal_covariances(g, win_poses, idxs, active=m)
+            self.pose_cov = covs[0]
             if m == self.opt_window:
-                # window full: the oldest pose leaves next keyframe — carry
-                # its marginal as the next boundary prior
-                cov1 = pose_marginal_covariance(g, win_poses, 1)
-                self.carried_prior_sigma = np.sqrt(
-                    np.maximum(np.diag(cov1), 1e-12)).astype(np.float32)
+                self.carried_prior_sigma = carry_sigma(covs[1])
         self.pose = self.kf_poses[n - 1].copy()
 
     # ---------------------------------------------------------- loop closure
@@ -500,7 +522,7 @@ class SlamPipeline:
         # BetweenFactor(cur, closest) with fitness noise (ref :743-758)
         self.loop_factors.append((cur, closest, rel.astype(np.float32), sigma))
         self.a_loop_is_closed = True
-        self._optimize_graph(iterations=12)
+        self._optimize_graph()
         self._log.info("mapping/loop_closure", time=scan_time, cur=cur,
                        closest=closest, fitness=float(res.fitness),
                        reset_id=self.reset_id)

@@ -86,3 +86,28 @@ def test_voxel_far_from_origin():
     # match sets (order-independent)
     d = np.linalg.norm(out[:, None] - ref[None], axis=-1).min(1)
     assert d.max() < 1e-4, d.max()
+
+
+def test_voxel_long_extent():
+    """A >1 km-long cloud (highway-style) must bin exactly — the 2-key
+    packing supports 32767 cells per y/z axis and unbounded x."""
+    import numpy as np
+    import jax.numpy as jnp
+    from feature_base_pointcloud_registration_tpu.ops.voxel import (
+        voxel_downsample)
+
+    rng = np.random.RandomState(1)
+    xs = rng.uniform(0, 1200.0, 512).astype(np.float32)
+    pts = np.stack([xs, rng.uniform(-3, 3, 512).astype(np.float32),
+                    rng.uniform(0, 2, 512).astype(np.float32)], -1)
+    out, mask, n = voxel_downsample(jnp.asarray(pts),
+                                    jnp.ones(512, bool), 0.2, 1024)
+    out = np.asarray(out)[np.asarray(mask)]
+    ijk = np.floor(pts / 0.2).astype(np.int64)
+    keys = {}
+    for p, c in zip(pts, map(tuple, ijk)):
+        keys.setdefault(c, []).append(p)
+    ref = np.stack([np.mean(v, axis=0) for v in keys.values()])
+    assert len(out) == len(ref), (len(out), len(ref))
+    d = np.linalg.norm(out[:, None] - ref[None], axis=-1).min(1)
+    assert d.max() < 1e-4, d.max()
