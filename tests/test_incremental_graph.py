@@ -211,3 +211,20 @@ def test_loop_closure_corrects_drift():
     assert err_after < 0.2 * err_before, (err_before, err_after)
     assert err_after < 0.1, err_after
     assert pipe.reset_id == rid_before + 1
+
+
+def test_full_graph_shapes_stay_fixed():
+    """The full-graph solve must reuse ONE compiled executable: factor
+    array shapes must not depend on how many loop/GPS factors exist
+    (jax-0.9 re-compile hazard on TPU, docs/ROUND_NOTES.md)."""
+    _, pipe = _run_chain(opt_window=8, n_kf=12)
+    g1 = pipe._graph_data()
+    # add more GPS + a loop factor; shapes must not change
+    pipe.add_gps(99.0, pipe.kf_poses[0, 3:], np.full(3, 0.04))
+    pipe._add_gps_factor(99.0)
+    pipe.loop_factors.append(
+        (pipe.n_keyframes - 1, 0, np.zeros(6, np.float32),
+         np.full(6, 0.1, np.float32)))
+    g2 = pipe._graph_data()
+    for a, b in zip(g1, g2):
+        assert a.shape == b.shape, (a.shape, b.shape)
