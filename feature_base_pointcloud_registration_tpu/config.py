@@ -187,6 +187,10 @@ class Params:
     knn_chunk: int = 4096        # map chunk for streamed 5-NN top-k
     imu_queue_len: int = 512     # deskew rotation table (ref: queueLength=500)
     sector_cap: int = 304        # max compacted points per (ring, sector)
+    # strict = the reference's fully serialized pick stream (bit-parity
+    # mode); False = sector-parallel fast picking (~6x faster frontend,
+    # tolerance-level parity — see ops/features.py)
+    strict_feature_pick: bool = True
 
     def __post_init__(self):
         if self.max_points == 0:

@@ -29,7 +29,7 @@ def process_scan(params: Params, scan: RawScan,
                  ) -> Tuple[CloudInfo, ScanFeatures]:
     """Project + extract + (optionally) downsample one scan."""
     cloud = project_scan(params, scan, deskew_info, enable_deskew=enable_deskew)
-    feats = extract_features(params, cloud)
+    feats = extract_features(params, cloud, strict=params.strict_feature_pick)
     if downsample:
         feats = downsample_features(params, feats)
     return cloud, feats
