@@ -138,8 +138,13 @@ def _project_scan_impl(scan: RawScan, deskew_info: DeskewInfo, *, n_scan,
         any_valid = jnp.any(gate)
         first_idx = jnp.argmax(gate)  # min index with gate=True
         do = deskew_info.imu_available & any_valid
+        # scan duration for the positional interpolation ratio (ref :531
+        # relTime / scan duration); the positional term itself stays off
+        # unless odom_deskew_flag is set (the reference stubs findPosition
+        # to zero, :528-542)
+        duration = jnp.max(jnp.where(gate, scan.time, 0.0))
         desk = deskew_points(scan.xyz, scan.time, deskew_info,
-                             first_idx=first_idx)
+                             first_idx=first_idx, scan_duration=duration)
         pts = jnp.where(do, desk, scan.xyz)
     else:
         pts = scan.xyz

@@ -82,3 +82,36 @@ def test_projection_first_write_wins():
     out = project_scan(PARAMS, raw, None)
     assert int(out.num_points) == 1
     np.testing.assert_allclose(np.array(out.points)[0], xyz[0], atol=1e-6)
+
+
+def test_positional_deskew_applied():
+    """With odom_deskew_flag set, points are translated back along the
+    scan-duration odometry increment proportionally to their relative
+    time (the path the reference keeps but stubs to zero, ref
+    src/imageProjection.cpp:528-542)."""
+    from feature_base_pointcloud_registration_tpu.ops.projection import (
+        deskew_points)
+
+    n = 8
+    xyz = jnp.asarray(np.stack([np.linspace(2, 5, n), np.zeros(n),
+                                np.zeros(n)], -1), jnp.float32)
+    rel_t = jnp.asarray(np.linspace(0.0, 0.1, n), jnp.float32)
+    incre = np.array([0.5, -0.2, 0.0], np.float32)
+
+    dsk = DeskewInfo.empty(PARAMS.imu_queue_len)
+    dsk = dsk._replace(imu_available=jnp.asarray(True),
+                       odom_available=jnp.asarray(True),
+                       odom_deskew_flag=jnp.asarray(True),
+                       odom_incre=jnp.asarray(incre))
+    out = np.array(deskew_points(xyz, rel_t, dsk, scan_duration=0.1))
+    # no rotation in the (empty) gyro table: transform reduces to the
+    # positional term relative to the first point (ratio 0 -> shift 0)
+    ratios = np.linspace(0.0, 1.0, n)
+    expected = np.array(xyz) + ratios[:, None] * incre
+    np.testing.assert_allclose(out, expected, atol=1e-5)
+
+    # flag off -> pure rotation path, positions untouched
+    dsk_off = dsk._replace(odom_deskew_flag=jnp.asarray(False))
+    out_off = np.array(deskew_points(xyz, rel_t, dsk_off,
+                                     scan_duration=0.1))
+    np.testing.assert_allclose(out_off, np.array(xyz), atol=1e-6)
