@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .eig3 import eigvals_sym3, principal_eigvec_sym3, solve3
+from .eig3 import eigvals_sym3, principal_eigvec_sym3
 
 _PREC = jax.lax.Precision.HIGHEST
 _BIG = jnp.float32(3.0e38)

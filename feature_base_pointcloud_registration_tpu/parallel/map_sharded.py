@@ -14,7 +14,6 @@ This generalizes the reference's single-machine OpenMP scaling
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,7 @@ from ..config import Params
 from ..ops.cropbox import crop_box
 from ..ops.register import RegisterResult, transform_update
 from ..ops.voxel import voxel_downsample
-from .cloud_info import DeskewInfo, FeatureMap, RawScan, ScanFeatures
+from .cloud_info import DeskewInfo, FeatureMap, RawScan
 from .frontend import process_scan
 
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Params
-from ..geom.se3 import compose_pose6, inverse_matrix, matrix_to_pose6, pose6_to_matrix
+from ..geom.se3 import inverse_matrix, matrix_to_pose6, pose6_to_matrix
 from ..graph.pose_graph import PoseGraphData, optimize_pose_graph
 from ..ops.icp import icp_align
 from ..ops.register import transform_update
