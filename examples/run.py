@@ -33,36 +33,10 @@ from feature_base_pointcloud_registration_tpu.utils.cache import (
 
 enable_persistent_cache()
 
-G = 9.80511
-
-
 def _rpy(R):
     return np.array([np.arctan2(R[2, 1], R[2, 2]),
                      np.arcsin(np.clip(-R[2, 0], -1, 1)),
                      np.arctan2(R[1, 0], R[0, 0])], np.float32)
-
-
-def _platform(duration, imu_hz=100.0):
-    """Constant-twist ground-truth platform + synthetic IMU stream."""
-    dt = 1.0 / imu_hz
-    n = int(duration * imu_hz)
-    w_body = np.array([0.0, 0.0, 0.15])
-    v_body0 = np.array([1.2, 0.0, 0.0])
-    R, p = np.eye(3), np.zeros(3)
-    states, imu = [], []
-    for i in range(n):
-        t = i * dt
-        v_world = R @ v_body0
-        a_world = R @ np.cross(w_body, v_body0)
-        acc_body = R.T @ (a_world - np.array([0, 0, -G]))
-        imu.append((t, acc_body, w_body.copy()))
-        states.append((t, R.copy(), p.copy()))
-        p = p + v_world * dt + 0.5 * a_world * dt * dt
-        th = np.linalg.norm(w_body) * dt
-        k = w_body / np.linalg.norm(w_body)
-        K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
-        R = R @ (np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K)
-    return imu, states
 
 
 def main():
@@ -76,6 +50,9 @@ def main():
     ap.add_argument("--save-dir", default=None)
     ap.add_argument("--map-dir", default=None,
                     help="prebuilt map directory for --mode localization")
+    ap.add_argument("--data", default=None,
+                    help="KITTI raw drive dir (velodyne_points/ + oxts/) for "
+                         "--mode lio; synthetic platform when omitted")
     ap.add_argument("--loop", action="store_true", help="enable loop closure")
     args = ap.parse_args()
 
@@ -133,9 +110,8 @@ def main():
     from feature_base_pointcloud_registration_tpu.pipeline.slam import (
         SlamPipeline)
 
-    slam = SlamPipeline(params, max_keyframes=256)
-
     if args.mode == "slam":
+        slam = SlamPipeline(params, max_keyframes=256)
         for k in range(args.scans):
             gt = np.array([0, 0, 0.04 * k, 0.25 * k - 2.0, 0.12 * k - 1.0, 0],
                           np.float32)
@@ -147,30 +123,88 @@ def main():
                 pose = slam.step(raw, timestamp=0.2 * k)
             print(f"scan {k:3d}: keyframes={slam.n_keyframes:3d} "
                   f"pose=({pose[3]:+7.3f} {pose[4]:+7.3f} {pose[5]:+7.3f})")
-    else:  # lio — the test.launch topology
-        from feature_base_pointcloud_registration_tpu.pipeline.frontend \
-            import make_deskew_info
-        from feature_base_pointcloud_registration_tpu.pipeline.imu_odometry \
-            import ImuOdometry
+    elif args.mode == "lio" and args.data:
+        # full LIO (BASELINE config 4) on a real KITTI raw drive:
+        # velodyne scans + oxts IMU stream + oxts GPS fixes
+        from feature_base_pointcloud_registration_tpu.io import kitti
+        from feature_base_pointcloud_registration_tpu.pipeline.lio import (
+            LioTopology)
 
-        odo = ImuOdometry(params, window=16, max_samples=64)
+        if args.params is None:
+            # HDL-64 geometry unless the user supplied a params.yaml
+            params = dataclasses.replace(params, n_scan=64)
+        vdir = os.path.join(args.data, "velodyne_points", "data")
+        files = kitti.scan_files(vdir)
+        if not files:
+            raise SystemExit(f"no velodyne .bin files under {vdir}")
+        files = files[: args.scans + 2]
+        scan_ts = kitti.load_times(
+            os.path.join(args.data, "velodyne_points"), len(files))
+        imu = kitti.load_oxts_imu(os.path.join(args.data, "oxts"))
+        gps = kitti.load_oxts_gps(os.path.join(args.data, "oxts"))
+        print(f"{len(files)} scans, {len(imu['times'])} imu records, "
+              f"{len(gps['times'])} gps fixes from {args.data}")
+
+        topo = LioTopology(params, max_keyframes=256, imu_window=16,
+                           imu_max_samples=256)
+        slam = topo.slam
+        imu_idx = gps_idx = 0
+        for k, f in enumerate(files):
+            st = float(scan_ts[k])
+            hi = np.searchsorted(imu["times"], st, side="right")
+            if hi > imu_idx:
+                topo.handle_imu(imu["times"][imu_idx:hi],
+                                imu["acc"][imu_idx:hi],
+                                imu["gyr"][imu_idx:hi],
+                                imu["quat"][imu_idx:hi])
+                imu_idx = hi
+            ghi = np.searchsorted(gps["times"], st, side="right")
+            for gk in range(gps_idx, ghi):
+                slam.add_gps(float(gps["times"][gk]), gps["xyz"][gk],
+                             gps["cov"][gk])
+            gps_idx = ghi
+            raw = kitti.load_scan(f)
+            with timer.stage("scan"):
+                est = topo.handle_cloud(st, raw)
+            if est is None:
+                print(f"t={st:6.2f}s buffering")
+                continue
+            print(f"t={topo.slam.time_last_processing:6.2f}s "
+                  f"keyframes={slam.n_keyframes:3d} "
+                  f"pose=({est[3]:+8.2f} {est[4]:+8.2f} {est[5]:+7.2f})")
+
+    else:  # lio — the fully-wired test.launch topology, synthetic platform
+        from feature_base_pointcloud_registration_tpu.io.synthetic import (
+            constant_twist_platform)
+        from feature_base_pointcloud_registration_tpu.pipeline.lio import (
+            LioTopology)
+
+        topo = LioTopology(params, max_keyframes=256, imu_window=16,
+                           imu_max_samples=64)
+        slam = topo.slam
         scan_period = max(params.mapping_process_interval, 0.2)
-        duration = args.scans * scan_period + 0.3
-        imu, states = _platform(duration)
-        imu_times = np.array([s[0] for s in imu])
+        # ScanBuffer holds 2 scans back, so simulate 2 extra scan periods
+        duration = (args.scans + 2) * scan_period + 0.3
+        # RAW sensor-frame IMU: the topology's imu_converter must undo the
+        # reference extrinsics (config/params.yaml:37-42 equivalents)
+        imu, states = constant_twist_platform(
+            duration, ext_rot=params.ext_rot, ext_rpy=params.ext_rpy,
+            gravity=params.imu_gravity)
         gt_by_time = {round(t, 4): (R, p) for (t, R, p) in states}
         scan_times = np.arange(0.0, duration - 0.25, scan_period)
 
         imu_idx = 0
-        last_guess = None
         for st in scan_times:
+            # batch-feed raw IMU samples up to the scan stamp
+            batch = []
             while imu_idx < len(imu) and imu[imu_idx][0] <= st:
-                t, acc, gyr = imu[imu_idx]
-                odo.handle_imu(t, acc, gyr)
+                batch.append(imu[imu_idx])
                 imu_idx += 1
-            out = odo.flush_imu_odometry()
-            if out is not None:
-                last_guess = out[0][-1]
+            if batch:
+                topo.handle_imu(np.array([b[0] for b in batch]),
+                                np.stack([b[1] for b in batch]),
+                                np.stack([b[2] for b in batch]),
+                                np.stack([b[3] for b in batch]))
 
             R, p = gt_by_time[round(st, 4)]
             s = simulate_scan(world, np.concatenate([_rpy(R), p]),
@@ -178,20 +212,16 @@ def main():
             raw = RawScan.from_numpy(s["xyz"], s["intensity"], s["ring"],
                                      s["time"])
             raw = raw._replace(valid=jnp.asarray(s["valid"]))
-            lo = np.searchsorted(imu_times, st - 0.05)
-            hi = np.searchsorted(imu_times, st + scan_period + 0.05)
-            dsk = make_deskew_info(
-                params, imu_times[lo:hi],
-                np.stack([imu[i][2] for i in range(lo, hi)]) if hi > lo
-                else np.zeros((0, 3)),
-                scan_start=float(st), scan_end=float(st + scan_period),
-                imu_rpy=_rpy(R), initial_guess=last_guess,
-                reset_id=slam.reset_id)
             with timer.stage("scan"):
-                est = slam.step(raw, timestamp=float(st), deskew_info=dsk)
-            odo.handle_odometry(float(st), est, reset_id=slam.reset_id)
-            err = np.linalg.norm(est[3:] - p.astype(np.float32))
-            print(f"t={st:5.1f}s keyframes={slam.n_keyframes:3d} "
+                est = topo.handle_cloud(float(st), raw)
+            if est is None:
+                print(f"t={st:5.1f}s buffering (<3 scans queued)")
+                continue
+            # the emitted scan lags the input by the buffer depth
+            t_proc = topo.slam.time_last_processing
+            _, p_gt = gt_by_time[round(t_proc, 4)]
+            err = np.linalg.norm(est[3:] - p_gt.astype(np.float32))
+            print(f"t={t_proc:5.1f}s keyframes={slam.n_keyframes:3d} "
                   f"err={err * 100:6.2f} cm")
 
     print(timer.summary())

@@ -28,8 +28,10 @@ _PREC = jax.lax.Precision.HIGHEST
 class ICPResult(NamedTuple):
     transform: jnp.ndarray   # f32 [4,4] source -> target
     fitness: jnp.ndarray     # f32 [] mean squared matched distance
-    converged: jnp.ndarray   # bool []
+    converged: jnp.ndarray   # bool [] PCL hasConverged(): terminated by ANY
+    #                          criterion (incl. max-iterations) with >=3 matches
     iterations: jnp.ndarray  # i32 []
+    delta: jnp.ndarray       # f32 [] last transform-change (epsilon criterion)
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "chunk"))
@@ -75,7 +77,13 @@ def icp_align(src, src_mask, dst, dst_mask, *,
     d2, _ = one_nn(src_t)
     match = src_mask & (d2 < max_d2)
     w = match.astype(jnp.float32)
-    fitness = jnp.sum(d2 * w) / jnp.maximum(jnp.sum(w), 1.0)
-    converged = delta <= transformation_epsilon
+    n_match = jnp.sum(w)
+    fitness = jnp.sum(d2 * w) / jnp.maximum(n_match, 1.0)
+    # PCL hasConverged() is true on ANY termination criterion, including the
+    # max-iterations budget (ref usage src/mapOptmization.h:715 gates only on
+    # hasConverged + fitness); it is false only when correspondence estimation
+    # fails (< min_number_correspondences_ = 3).  The epsilon-criterion signal
+    # is still exposed separately via `delta`.
+    converged = n_match >= 3.0
     return ICPResult(transform=T, fitness=fitness, converged=converged,
-                     iterations=it)
+                     iterations=it, delta=delta)

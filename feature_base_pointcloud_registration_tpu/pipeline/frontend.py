@@ -49,13 +49,18 @@ def downsample_features(params: Params, feats: ScanFeatures) -> ScanFeatures:
 
 def make_deskew_info(params: Params, imu_time, imu_gyro, scan_start: float,
                      scan_end: float, imu_rpy=None, initial_guess=None,
-                     reset_id: int = 0) -> DeskewInfo:
+                     reset_id: int = 0, odom_incre=None,
+                     odom_deskew_flag: bool = False) -> DeskewInfo:
     """Build the per-scan deskew table from raw IMU samples (host-side prep).
 
     Mirrors imuDeskewInfo (ref: src/imageProjection.cpp:323-393): keep samples
     in [scan_start-0.01, scan_end+0.01], record attitude at scan start,
     forward-Euler integrate gyro into a rotation table relative to scan start.
     Times in the returned table are relative to scan_start.
+
+    `initial_guess` / `odom_incre` / `odom_deskew_flag` carry odomDeskewInfo's
+    outputs (ref :395-491) — feed them from `scan_buffer.OdomQueue.deskew_info`
+    so positional deskew and the odometry initial guess reach the pipeline.
     """
     import numpy as np
 
@@ -102,7 +107,9 @@ def make_deskew_info(params: Params, imu_time, imu_gyro, scan_start: float,
         initial_guess=jnp.asarray(
             initial_guess if initial_guess is not None else np.zeros(6),
             jnp.float32),
-        odom_incre=jnp.zeros(3, jnp.float32),
-        odom_deskew_flag=jnp.asarray(False),
+        odom_incre=jnp.asarray(
+            odom_incre if odom_incre is not None else np.zeros(3),
+            jnp.float32),
+        odom_deskew_flag=jnp.asarray(bool(odom_deskew_flag)),
         reset_id=jnp.asarray(reset_id, jnp.int32),
     )

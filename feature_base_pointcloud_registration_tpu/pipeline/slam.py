@@ -157,9 +157,30 @@ class SlamPipeline:
         return self.pose
 
     # ------------------------------------------------------------ local map
+    def _thin_poses(self, indices: np.ndarray, leaf: float) -> np.ndarray:
+        """Voxel-thin a keypose index set: one representative keyframe per
+        `leaf`-sized voxel, the one nearest the voxel centroid — the
+        pcl::VoxelGrid pose-cloud downsample of the reference
+        (surroundingKeyframeDensity, ref: src/mapOptmization.h:892;
+        globalMapVisualizationPoseDensity, ref :553)."""
+        if leaf <= 0 or len(indices) == 0:
+            return indices
+        pos = self.kf_poses[indices, 3:]
+        key = np.floor(pos / leaf).astype(np.int64)
+        _, inv = np.unique(key, axis=0, return_inverse=True)
+        cent = np.zeros((inv.max() + 1, 3))
+        np.add.at(cent, inv, pos)
+        cent /= np.bincount(inv)[:, None]
+        d2c = np.linalg.norm(pos - cent[inv], axis=1)
+        order = np.lexsort((d2c, inv))
+        first = np.ones(len(order), bool)
+        first[1:] = inv[order][1:] != inv[order][:-1]
+        return np.sort(indices[order[first]])
+
     def _surrounding_map(self) -> Optional[FeatureMap]:
         """extractSurroundingKeyFrames (ref :857-978): keyframes within the
-        search radius of the last pose + all from the most recent 10 s."""
+        search radius of the last pose (density-thinned, ref :892) + all
+        from the most recent 10 s."""
         p = self.params
         n = self.n_keyframes
         if n == 0:
@@ -167,7 +188,8 @@ class SlamPipeline:
         sel = np.zeros(self.max_keyframes, bool)
         last_pos = self.kf_poses[n - 1, 3:]
         d = np.linalg.norm(self.kf_poses[:n, 3:] - last_pos, axis=1)
-        sel[:n] = d < p.surrounding_keyframe_search_radius
+        near = np.where(d < p.surrounding_keyframe_search_radius)[0]
+        sel[self._thin_poses(near, p.surrounding_keyframe_density)] = True
         recent = self.kf_times[:n] > self.kf_times[n - 1] - 10.0
         sel[:n] |= recent
         return _build_local_map(
@@ -241,10 +263,71 @@ class SlamPipeline:
                                keyframe=n, xyz=gps_xyz, sigma=sigma)
                 break
 
+    def _evict_oldest(self, count: int):
+        """Bounded keyframe storage: marginalize the oldest `count` keyframes
+        into the root prior and evict their clouds.
+
+        The reference grows cloudKeyPoses*/cornerCloudKeyFrames unboundedly
+        (src/mapOptmization.h:1676-1726); a production run needs a policy.
+        Keeping shapes FIXED (rather than growing arrays) avoids the jax-0.9
+        TPU executable-cache hazard (docs/ROUND_NOTES.md) and keeps
+        per-keyframe latency flat.  The evicted segment's information is
+        absorbed into a prior on the new root pose whose sigma comes from
+        that pose's full-graph marginal — the same marginalization trick the
+        reference applies at its key==100 preintegration reset
+        (src/imuPreintegration.cpp:234-267).  Loop/GPS factors touching
+        evicted poses are dropped (logged); their net effect on surviving
+        poses persists through the marginal prior + the corrected estimates.
+        """
+        from ..graph.pose_graph import pose_marginal_covariances
+
+        n = self.n_keyframes
+        count = min(count, n - self.opt_window)   # never evict the window
+        if count <= 0:
+            return
+        g = self._graph_data()
+        cov = pose_marginal_covariances(g, self.kf_poses, [count],
+                                        active=n)[0]
+        sigma = np.sqrt(np.maximum(np.diag(cov), 1e-12)).astype(np.float32)
+        self.prior_factor = (0, self.kf_poses[count].copy(), sigma)
+
+        m = n - count
+        for arr in (self.kf_corner, self.kf_surf, self.kf_poses,
+                    self.kf_times, self.odom_meas):
+            arr[:m] = arr[count:n]
+            arr[m:n] = 0
+        for arr in (self.kf_corner_mask, self.kf_surf_mask):
+            arr[:m] = arr[count:n]
+            arr[m:n] = False
+        self.odom_sigma[:m] = self.odom_sigma[count:n]
+        self.odom_sigma[m:n] = 1.0
+        self.odom_meas[0] = 0.0   # chain entry 0 (root has no predecessor)
+        self.odom_sigma[0] = 1.0
+
+        dropped = sum(1 for (i, j, *_ ) in self.loop_factors
+                      if i < count or j < count)
+        dropped += sum(1 for (i, *_ ) in self.gps_factors if i < count)
+        if dropped:
+            self._log.warn("mapping/evict_dropped_factors", dropped=dropped,
+                           evicted=count)
+        self.loop_factors = [(i - count, j - count, m_, s_)
+                             for (i, j, m_, s_) in self.loop_factors
+                             if i >= count and j >= count]
+        self.gps_factors = [(i - count, m_, s_)
+                            for (i, m_, s_) in self.gps_factors
+                            if i >= count]
+        self.n_keyframes = m
+        self._log.info("mapping/evict", evicted=count, remaining=m)
+
     def _save_keyframe(self, feats: ScanFeatures, scan_time: float):
         """saveKeyFramesAndFactor (ref :1637-1733)."""
+        if self.n_keyframes >= self.max_keyframes:
+            self._evict_oldest(max(1, self.max_keyframes // 8))
+            if self.n_keyframes >= self.max_keyframes:
+                raise RuntimeError(
+                    "keyframe capacity exceeded and opt_window too large to "
+                    "evict; raise max_keyframes or shrink opt_window")
         n = self.n_keyframes
-        assert n < self.max_keyframes, "keyframe capacity exceeded"
         # odom factor (ref :1517-1541)
         if n == 0:
             prior_sigma = np.sqrt(np.array(
@@ -286,21 +369,25 @@ class SlamPipeline:
         to powers of two so shapes re-jit only log-many times."""
         n = self.n_keyframes
         K = self.max_keyframes
-        btw = ([(j - 1, j, self.odom_meas[j], self.odom_sigma[j])
-                for j in range(1, n)] + self.loop_factors)
+        chain = [(j - 1, j, self.odom_meas[j], self.odom_sigma[j])
+                 for j in range(1, n)]
+        loops = self.loop_factors
 
         # FIXED factor capacities: the full-graph solve must compile
         # exactly once per process — growing shapes would trigger repeat
         # same-function compiles, the jax-0.9 executable-cache TPU hazard
-        # (docs/ROUND_NOTES.md).  Overflowing factors are dropped oldest-
-        # first with a warning (bounded by max_keyframes anyway for the
-        # odometry chain).
+        # (docs/ROUND_NOTES.md).  The odometry chain is NEVER dropped:
+        # severing it would disconnect later poses from the gauge prior and
+        # silently degrade the solve.  Only loop factors overflow, oldest
+        # first, with a warning.  len(chain) = n-1 < K <= Fb always holds.
         Fb = K + self.loop_factor_cap
         Fg = self.gps_factor_cap
-        if len(btw) > Fb:
-            self._log.warn("mapping/factor_overflow", kind="between",
-                           dropped=len(btw) - Fb)
-            btw = btw[len(btw) - Fb:]
+        if len(chain) + len(loops) > Fb:
+            keep = Fb - len(chain)
+            self._log.warn("mapping/factor_overflow", kind="loop",
+                           dropped=len(loops) - keep)
+            loops = loops[len(loops) - keep:]
+        btw = chain + loops
         gps_factors = self.gps_factors
         if len(gps_factors) > Fg:
             self._log.warn("mapping/factor_overflow", kind="gps",
@@ -605,8 +692,11 @@ class SlamPipeline:
             return np.zeros((0, 3), np.float32)
         last = self.kf_poses[n - 1, 3:]
         sel = np.linalg.norm(self.kf_poses[:n, 3:] - last, axis=1) < radius
+        # globalMapVisualizationPoseDensity keypose thinning (ref :553)
+        keep = self._thin_poses(np.where(sel)[0],
+                                p.global_map_visualization_pose_density)
         pts = []
-        for k in np.where(sel)[0]:
+        for k in keep:
             T = np.array(pose6_to_matrix(jnp.asarray(self.kf_poses[k])))
             for cl, m in ((self.kf_corner[k], self.kf_corner_mask[k]),
                           (self.kf_surf[k], self.kf_surf_mask[k])):
