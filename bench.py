@@ -52,14 +52,14 @@ def main():
     from feature_base_pointcloud_registration_tpu.ops.projection import (
         project_scan)
     from feature_base_pointcloud_registration_tpu.parallel.batch import (
-        batch_register_blocks, batch_register_pallas, build_map_block_tables,
+        batch_register_blocks, batch_register_fused, build_map_block_tables,
         build_map_planar_tables)
     from feature_base_pointcloud_registration_tpu.pipeline.cloud_info import (
         FeatureMap, RawScan)
     from feature_base_pointcloud_registration_tpu.pipeline.frontend import (
         downsample_features)
 
-    B = int(os.environ.get("BENCH_BATCH", "32"))
+    B = int(os.environ.get("BENCH_BATCH", "128"))
     REPS = int(os.environ.get("BENCH_REPS", "10"))
     N_ORACLE = int(os.environ.get("BENCH_ORACLE_SCANS", "8"))
     params = Params(map_corner_cap=16384, map_surf_cap=65536, knn_chunk=4096)
@@ -94,19 +94,30 @@ def main():
     half = np.array([world.half_x + 1, world.half_y + 1,
                      (world.ceil_z - world.ground_z) / 2 + 1], np.float32)
 
+    # corner cell cap 32 / surf 48: zero grid overflow on this map (16
+    # dropped 2.5% of corner points — BENCH_r02's known defect)
+    CCAP, SCAP = 32, 48
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        ctab, stab, origin, dims = build_map_planar_tables(fmap, center, half)
+        # fused path: Pallas fetch (sorted-dedup row DMAs) + Pallas GN-round
+        # mega-kernel, per-lane early exit (ops/pallas_gn.py)
+        ctab, stab, origin, dims = build_map_planar_tables(
+            fmap, center, half, corner_cell_cap=CCAP, surf_cell_cap=SCAP)
 
         def solve(feats, poses):
-            return batch_register_pallas(feats, ctab, stab, origin, poses,
-                                         grid_dims=dims)
+            return batch_register_fused(feats, ctab, stab, origin, poses,
+                                        grid_dims=dims,
+                                        corner_cell_cap=CCAP,
+                                        surf_cell_cap=SCAP)
     else:
-        ctab, stab, origin, dims = build_map_block_tables(fmap, center, half)
+        ctab, stab, origin, dims = build_map_block_tables(
+            fmap, center, half, corner_cell_cap=CCAP, surf_cell_cap=SCAP)
 
         def solve(feats, poses):
             return batch_register_blocks(feats, ctab, stab, origin, poses,
-                                         grid_dims=dims)
+                                         grid_dims=dims,
+                                         corner_cell_cap=CCAP,
+                                         surf_cell_cap=SCAP)
 
     @jax.jit
     def frontend(raws):
@@ -114,6 +125,14 @@ def main():
             cloud = project_scan(params, raw, None)
             return downsample_features(
                 params, extract_features(params, cloud, strict=False))
+        return jax.vmap(one)(raws)
+
+    @jax.jit
+    def frontend_strict(raws):
+        def one(raw):
+            cloud = project_scan(params, raw, None)
+            return downsample_features(
+                params, extract_features(params, cloud, strict=True))
         return jax.vmap(one)(raws)
 
     @jax.jit
@@ -152,8 +171,40 @@ def main():
     block(res_e2e)
     t_e2e = (time.perf_counter() - t0) / REPS
 
+    # strict bit-parity feature picking: the honest "reference-equivalent
+    # output" end-to-end number (fast mode matches it on test scenes but is
+    # not the serialized reference stream)
+    @jax.jit
+    def end_to_end_strict(raws, poses):
+        return solve(frontend_strict(raws), poses)
+
+    block(end_to_end_strict(raws, guesses_j))
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        res_st = end_to_end_strict(raws, guesses_j)
+    block(res_st)
+    t_e2e_strict = (time.perf_counter() - t0) / REPS
+
     solve_sps = B / t_solve
     e2e_sps = B / t_e2e
+    e2e_strict_sps = B / t_e2e_strict
+
+    # batch sweep: scans/s vs batch size on the solve path (throughput must
+    # be monotone in B — the axis the v5p-8 north star scales along)
+    sweep = {}
+    for Bs in [int(x) for x in
+               os.environ.get("BENCH_SWEEP", "32,64,128,256").split(",") if x]:
+        reps_s = max(2, min(REPS, 2048 // Bs))
+        idx = np.arange(Bs) % B
+        feats_s = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[idx]),
+                               feats)
+        guesses_s = jnp.asarray(guesses[idx])
+        block(solve(feats_s, guesses_s))
+        t0 = time.perf_counter()
+        for _ in range(reps_s):
+            r = solve(feats_s, guesses_s)
+        block(r)
+        sweep[str(Bs)] = round(Bs / ((time.perf_counter() - t0) / reps_s), 2)
 
     poses = np.array(res.pose6)
     err_t = np.linalg.norm(poses[:, 3:] - gt[:, 3:], axis=1)
@@ -179,9 +230,10 @@ def main():
     # hash-grid overflow: fraction of map points silently dropped by cell caps
     ovf_c = float(grid_overflow_fraction(
         fmap.corner_xyz, fmap.corner_mask, origin, 2.0, dims=dims,
-        cell_cap=16))
+        cell_cap=CCAP))
     ovf_s = float(grid_overflow_fraction(
-        fmap.surf_xyz, fmap.surf_mask, origin, 2.0, dims=dims, cell_cap=64))
+        fmap.surf_xyz, fmap.surf_mask, origin, 2.0, dims=dims,
+        cell_cap=SCAP))
 
     print(json.dumps({
         "metric": "batched scan-to-map registration throughput",
@@ -195,13 +247,15 @@ def main():
             "solve_ms_per_scan": round(t_solve / B * 1000.0, 3),
             "frontend_ms_per_scan": round(t_frontend / B * 1000.0, 3),
             "e2e_scans_per_s": round(e2e_sps, 2),
+            "e2e_strict_scans_per_s": round(e2e_strict_sps, 2),
+            "batch_sweep": sweep,
             "ate_vs_gt_m": round(ate_gt, 5),
             "ate_vs_oracle_m": round(ate_oracle, 6),
             "oracle_scans": n_or,
             "n_converged": int(np.array(res.converged).sum()),
             "grid_overflow_corner": round(ovf_c, 6),
             "grid_overflow_surf": round(ovf_s, 6),
-            "solver": "pallas_fused_fetch" if on_tpu else "xla_blocks",
+            "solver": "pallas_fused_gn" if on_tpu else "xla_blocks",
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

@@ -70,29 +70,53 @@ def build_block_table_planar(sentinel_table, *, dims):
     return table.reshape(table.shape[0], (24 * cap) // 128, 128)
 
 
-def _fetch_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, table_ref,
+def _fetch_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, bcv_ref, table_ref,
                   d2_ref, nnx_ref, nny_ref, nnz_ref,
                   buf, sems, *, S3: int, K: int):
     """One program: _TILE queries; waves of _WAVE row-DMAs, fused compute.
 
     buf: [2, _WAVE, 3*S3, 128] VMEM; table rows are [3*S3, 128] with the x/y/z
     planes at tile ranges [0:S3], [S3:2*S3], [2*S3:3*S3].
+
+    Sentinel rows (invalid/padded/out-of-grid queries — callers map them to
+    the last table row) issue NO DMA: their d2 is forced to _BIG in-kernel.
+    At typical feature-padding ratios this removes most of the per-query DMA
+    traffic, which is what bounds the fetch (row 3 finding).
     """
     n_waves = _TILE // _WAVE
     W = S3 * 128
+    sentinel = table_ref.shape[0] - 1
 
     def dma(slot, wave, r):
         row = bcell_ref[wave * _WAVE + r, 0]
-        return pltpu.make_async_copy(
+        # duplicate-row dedup: with queries PRE-SORTED by block row (see
+        # batch_register_fused's per-lane presort) consecutive slots mostly
+        # share a row; only the first slot of each run issues a DMA, the
+        # rest forward-fill from it in the compute phase.  Slot 0 of every
+        # wave always counts as fresh so fills never cross a wave.
+        if r == 0:
+            pred = row != sentinel
+        else:
+            prev = bcell_ref[wave * _WAVE + r - 1, 0]
+            pred = (row != sentinel) & (row != prev)
+        return pred, pltpu.make_async_copy(
             table_ref.at[row], buf.at[slot, r], sems.at[slot, r])
 
     def start_wave(slot, wave):
         for r in range(_WAVE):
-            dma(slot, wave, r).start()
+            pred, cp = dma(slot, wave, r)
+
+            @pl.when(pred)
+            def _():
+                cp.start()
 
     def wait_wave(slot, wave):
         for r in range(_WAVE):
-            dma(slot, wave, r).wait()
+            pred, cp = dma(slot, wave, r)
+
+            @pl.when(pred)
+            def _():
+                cp.wait()
 
     start_wave(0, 0)
 
@@ -110,6 +134,22 @@ def _fetch_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, table_ref,
         Y = rows[:, 1 * S3:2 * S3, :].reshape(_WAVE, W)
         Z = rows[:, 2 * S3:3 * S3, :].reshape(_WAVE, W)
         qsl = pl.ds(w * _WAVE, _WAVE)
+
+        # forward-fill slots whose DMA was deduped (same row as the slot
+        # above): log-step "copy last fresh row downward"
+        bcw = bcv_ref[qsl, :]                              # (WAVE,1) i32
+        rows_w = lax.broadcasted_iota(jnp.int32, (_WAVE, 1), 0)
+        prevv = jnp.concatenate([bcw[0:1], bcw[:-1]], axis=0)
+        need = ((rows_w != 0) & (bcw == prevv)).astype(jnp.float32)
+        for sft in (1, 2, 4, 8, 16, 32, 64):
+            Xs = jnp.concatenate([X[:sft], X[:-sft]], axis=0)
+            Ys = jnp.concatenate([Y[:sft], Y[:-sft]], axis=0)
+            Zs = jnp.concatenate([Z[:sft], Z[:-sft]], axis=0)
+            ns = jnp.concatenate([need[:sft], need[:-sft]], axis=0)
+            X = jnp.where(need > 0, Xs, X)
+            Y = jnp.where(need > 0, Ys, Y)
+            Z = jnp.where(need > 0, Zs, Z)
+            need = need * ns
         qx = qx_ref[qsl, :]                                # [WAVE, 1]
         qy = qy_ref[qsl, :]
         qz = qz_ref[qsl, :]
@@ -117,6 +157,9 @@ def _fetch_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, table_ref,
         dy = Y - qy
         dz = Z - qz
         d2 = dx * dx + dy * dy + dz * dz                   # [WAVE, W]
+        # sentinel slots hold stale buffers: force their d2 to "no candidate"
+        sent = bcv_ref[qsl, :] == (table_ref.shape[0] - 1)  # [WAVE, 1]
+        d2 = jnp.where(sent, 3.0e38, d2)
 
         cols = lax.broadcasted_iota(jnp.int32, (_WAVE, W), 1)
 
@@ -172,6 +215,8 @@ def fused_block_fetch(table_planar, bcell, query, *, W: int, K: int = 8):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_TILE, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),        # bcell (vector)
             pl.BlockSpec(memory_space=pltpu.HBM),          # table stays HBM
         ],
         out_specs=[
@@ -195,7 +240,7 @@ def fused_block_fetch(table_planar, bcell, query, *, W: int, K: int = 8):
             pltpu.SemaphoreType.DMA((2, _WAVE)),
         ],
     )(bcell[:, None], query[:, 0:1], query[:, 1:2], query[:, 2:3],
-      table_planar)
+      bcell[:, None], table_planar)
 
     nn = jnp.stack([nnx, nny, nnz], axis=-1)
     d2 = jnp.where(d2 > 1e17, _BIG, d2)

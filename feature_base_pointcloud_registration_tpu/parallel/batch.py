@@ -237,13 +237,15 @@ def build_map_planar_tables(local_map: FeatureMap, center, half_extent,
 @partial(jax.jit, static_argnames=("grid_dims", "cell_size",
                                    "corner_cell_cap", "surf_cell_cap",
                                    "num_rounds", "iters_per_round",
-                                   "num_candidates"))
+                                   "num_candidates", "edge_min_valid",
+                                   "surf_min_valid"))
 def batch_register_pallas(features: ScanFeatures, corner_planar, surf_planar,
                           origin, init_poses, *, grid_dims,
                           cell_size: float = 2.0, corner_cell_cap: int = 16,
                           surf_cell_cap: int = 64,
                           num_rounds: int = 2, iters_per_round: int = 15,
-                          num_candidates: int = 8) -> RegisterResult:
+                          num_candidates: int = 8, edge_min_valid: int = 10,
+                          surf_min_valid: int = 100) -> RegisterResult:
     """Fastest TPU path: Pallas fused fetch + rounds-structured solve.
 
     Tables from build_map_planar_tables; feature caps must be multiples of
@@ -262,7 +264,8 @@ def batch_register_pallas(features: ScanFeatures, corner_planar, surf_planar,
     fn = jax.vmap(
         lambda f, p: register_rounds_core(
             f, cfetch, sfetch, p,
-            num_rounds=num_rounds, iters_per_round=iters_per_round),
+            num_rounds=num_rounds, iters_per_round=iters_per_round,
+            edge_min_valid=edge_min_valid, surf_min_valid=surf_min_valid),
         in_axes=(0, 0),
     )
     return fn(features, init_poses)
@@ -271,13 +274,15 @@ def batch_register_pallas(features: ScanFeatures, corner_planar, surf_planar,
 @partial(jax.jit, static_argnames=("grid_dims", "cell_size",
                                    "corner_cell_cap", "surf_cell_cap",
                                    "num_rounds", "iters_per_round",
-                                   "num_candidates"))
+                                   "num_candidates", "edge_min_valid",
+                                   "surf_min_valid"))
 def batch_register_blocks(features: ScanFeatures, corner_block, surf_block,
                           origin, init_poses, *, grid_dims,
                           cell_size: float = 2.0, corner_cell_cap: int = 16,
                           surf_cell_cap: int = 64,
                           num_rounds: int = 2, iters_per_round: int = 15,
-                          num_candidates: int = 8) -> RegisterResult:
+                          num_candidates: int = 8, edge_min_valid: int = 10,
+                          surf_min_valid: int = 100) -> RegisterResult:
     """Fastest batched path: block-table fetch + rounds-structured solve.
 
     num_candidates=8 matches the exact solver to <1 mm (candidates refresh
@@ -295,7 +300,133 @@ def batch_register_blocks(features: ScanFeatures, corner_block, surf_block,
     fn = jax.vmap(
         lambda f, p: register_rounds_core(
             f, cfetch, sfetch, p,
-            num_rounds=num_rounds, iters_per_round=iters_per_round),
+            num_rounds=num_rounds, iters_per_round=iters_per_round,
+            edge_min_valid=edge_min_valid, surf_min_valid=surf_min_valid),
         in_axes=(0, 0),
     )
     return fn(features, init_poses)
+
+
+@partial(jax.jit, static_argnames=("grid_dims", "cell_size",
+                                   "corner_cell_cap", "surf_cell_cap",
+                                   "num_rounds", "iters_per_round",
+                                   "num_candidates", "min_correspondences",
+                                   "edge_min_valid", "surf_min_valid",
+                                   "shared_fetch"))
+def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
+                         origin, init_poses, *, grid_dims,
+                         cell_size: float = 2.0, corner_cell_cap: int = 16,
+                         surf_cell_cap: int = 64, num_rounds: int = 2,
+                         iters_per_round: int = 15, num_candidates: int = 8,
+                         min_correspondences: int = 50,
+                         edge_min_valid: int = 10,
+                         surf_min_valid: int = 100,
+                         shared_fetch: bool = False) -> RegisterResult:
+    """Fused-kernel batched solve: Pallas fetch + Pallas GN-round kernel.
+
+    Two kernels per round (candidate fetch, full GN iteration loop) instead
+    of ~50 XLA fusions per GN iteration — collapses the dispatch gap that
+    left the round-2 solve 84% device-idle (docs/ROUND_NOTES.md), and the
+    per-lane iteration guard removes the vmapped-while_loop lockstep, so
+    throughput is monotone in batch size.  Math parity with
+    batch_register_blocks is tested (same candidate sets, same gates).
+    """
+    from ..geom.se3 import euler_to_rot
+    from ..ops.pallas_fetch import block_cell_of, fused_block_fetch
+    from ..ops.pallas_gn import STAT, gn_round_pallas
+
+    B, Pc, _ = features.corner_xyz.shape
+    Ps = features.surf_xyz.shape[1]
+    K = num_candidates
+    prec = jax.lax.Precision.HIGHEST
+
+    # Per-lane presort of features by their block row at the initial pose:
+    # the solver is permutation-invariant per lane, and row-sorted queries
+    # let the fetch kernel dedup per-query row DMAs (the fetch's bound).
+    # Invalid/padded features sort to the tail (sentinel = max row id).
+    pose_init = jnp.asarray(init_poses, jnp.float32)
+    R0 = jax.vmap(euler_to_rot)(pose_init[:, 0], pose_init[:, 1],
+                                pose_init[:, 2])
+
+    def presort(xyz, mask, planar):
+        P = xyz.shape[1]
+        w0 = jnp.einsum("bij,bpj->bpi", R0, xyz,
+                        precision=prec) + pose_init[:, None, 3:6]
+        bc = block_cell_of(w0.reshape(B * P, 3), origin, cell_size,
+                           dims=grid_dims).reshape(B, P)
+        bc = jnp.where(mask, bc, planar.shape[0] - 1)
+        _, xs, ys, zs, ms = jax.lax.sort(
+            (bc, xyz[..., 0], xyz[..., 1], xyz[..., 2],
+             mask.astype(jnp.int32)), dimension=1, num_keys=1)
+        return jnp.stack([xs, ys, zs], axis=-1), ms.astype(bool)
+
+    cxyz, cmask = presort(features.corner_xyz, features.corner_mask,
+                          corner_planar)
+    sxyz, smask = presort(features.surf_xyz, features.surf_mask,
+                          surf_planar)
+    features = features._replace(corner_xyz=cxyz, corner_mask=cmask,
+                                 surf_xyz=sxyz, surf_mask=smask)
+
+    featc = jnp.concatenate(
+        [jnp.transpose(features.corner_xyz, (0, 2, 1)),
+         features.corner_mask[:, None, :].astype(jnp.float32)], axis=1)
+    featsp = jnp.concatenate(
+        [jnp.transpose(features.surf_xyz, (0, 2, 1)),
+         features.surf_mask[:, None, :].astype(jnp.float32)], axis=1)
+
+    n_edge = jnp.sum(features.corner_mask, axis=1).astype(jnp.int32)
+    n_surf = jnp.sum(features.surf_mask, axis=1).astype(jnp.int32)
+    gate = ((n_edge > edge_min_valid)
+            & (n_surf > surf_min_valid)).astype(jnp.float32)
+
+    stat = jnp.zeros((B, STAT), jnp.float32)
+    stat = stat.at[:, 0:6].set(jnp.asarray(init_poses, jnp.float32))
+    stat = stat.at[:, 9].set(gate)
+    matP = jnp.tile(jnp.eye(6, dtype=jnp.float32).reshape(1, 36), (B, 1))
+
+    def cand_planes(nn, P):
+        # [B*P, K, 3] -> [B, 3K, P] (x rows 0..K-1, then y, then z)
+        return jnp.transpose(nn.reshape(B, P, K, 3),
+                             (0, 3, 2, 1)).reshape(B, 3 * K, P)
+
+    cmask_flat = features.corner_mask.reshape(B * Pc)
+    smask_flat = features.surf_mask.reshape(B * Ps)
+
+    def fetch(pose):
+        R = jax.vmap(euler_to_rot)(pose[:, 0], pose[:, 1], pose[:, 2])
+        cw = jnp.einsum("bij,bpj->bpi", R, features.corner_xyz,
+                        precision=prec) + pose[:, None, 3:6]
+        sw = jnp.einsum("bij,bpj->bpi", R, features.surf_xyz,
+                        precision=prec) + pose[:, None, 3:6]
+        cbc = block_cell_of(cw.reshape(B * Pc, 3), origin, cell_size,
+                            dims=grid_dims)
+        sbc = block_cell_of(sw.reshape(B * Ps, 3), origin, cell_size,
+                            dims=grid_dims)
+        # padded/invalid features -> sentinel row: the fetch kernel skips
+        # their DMA entirely (the per-query row DMA count is what bounds
+        # the fetch) and forces d2 = +inf
+        cbc = jnp.where(cmask_flat, cbc, corner_planar.shape[0] - 1)
+        sbc = jnp.where(smask_flat, sbc, surf_planar.shape[0] - 1)
+        _, cnn = fused_block_fetch(corner_planar, cbc,
+                                   cw.reshape(B * Pc, 3),
+                                   W=8 * corner_cell_cap, K=K)
+        _, snn = fused_block_fetch(surf_planar, sbc, sw.reshape(B * Ps, 3),
+                                   W=8 * surf_cell_cap, K=K)
+        return cand_planes(cnn, Pc), cand_planes(snn, Ps)
+
+    for r in range(num_rounds):
+        if r == 0 or not shared_fetch:
+            candc, cands = fetch(stat[:, 0:6])
+        stat = stat.at[:, 7].set(0.0)   # re-verify convergence each round
+        stat, matP = gn_round_pallas(
+            stat, matP, featc, featsp, candc, cands, K=K,
+            iters=iters_per_round, min_corr=min_correspondences)
+
+    return RegisterResult(
+        pose6=stat[:, 0:6],
+        converged=stat[:, 7] > 0,
+        iterations=stat[:, 6].astype(jnp.int32),
+        n_corr=stat[:, 10].astype(jnp.int32),
+        is_degenerate=stat[:, 8] > 0,
+        valid=stat[:, 9] > 0,
+    )

@@ -42,6 +42,20 @@ def _state15_to_nav(s):
     return NavState(R=R, p=s[3:6], v=s[6:9]), s[9:12], s[12:15]
 
 
+@jax.jit
+def _dev_update_preint(stacked, idx, pre: PreintState):
+    """One-slot (donate-free; leaves are small) update of the device-resident
+    stacked preint window — replaces the per-correction host re-stack of all
+    window slots (round-2 review, device-residency item)."""
+    idx = jnp.asarray(idx, jnp.int32)
+
+    def upd(buf, leaf):
+        start = (idx,) + (jnp.zeros((), jnp.int32),) * leaf.ndim
+        return jax.lax.dynamic_update_slice(buf, leaf[None], start)
+
+    return jax.tree.map(upd, stacked, pre)
+
+
 @dataclasses.dataclass
 class ImuOdometry:
     """Host driver holding the two IMU queues and the chain window."""
@@ -75,7 +89,10 @@ class ImuOdometry:
         K = self.window
         self.chain_states = np.zeros((K, STATE_DIM), np.float32)
         self.chain_mask = np.zeros(K, bool)
-        self.chain_preint: List[Optional[PreintState]] = [None] * K
+        # device-resident stacked preint window (one-slot updates; the host
+        # keeps only the per-slot presence flags)
+        self.chain_preint_dev = self._zero_preint_window()
+        self.chain_has_preint = np.zeros(K, bool)
         self.chain_pose_meas = np.zeros((K, 6), np.float32)
         # priorPoseNoise / priorVelNoise / priorBiasNoise (ref :105-109)
         self.prior_sigma0 = np.concatenate([
@@ -83,6 +100,11 @@ class ImuOdometry:
         ]).astype(np.float32)
         self.prior_sigma = self.prior_sigma0.copy()
         self.lidar2imu = np.asarray(p.ext_trans, np.float32)
+
+    def _zero_preint_window(self):
+        zero = PreintState.zero()
+        return jax.tree.map(
+            lambda a: jnp.tile(a[None], (self.window,) + (1,) * a.ndim), zero)
 
     # ------------------------------------------------------------------ imu
     def handle_imu(self, t: float, acc, gyr):
@@ -159,7 +181,8 @@ class ImuOdometry:
                 self.que_opt.pop(0)
             self.chain_states[:] = 0
             self.chain_mask[:] = False
-            self.chain_preint = [None] * self.window
+            self.chain_preint_dev = self._zero_preint_window()
+            self.chain_has_preint[:] = False
             self.chain_states[0, :6] = nav_meas
             self.chain_mask[0] = True
             self.chain_pose_meas[0] = nav_meas
@@ -200,7 +223,9 @@ class ImuOdometry:
         self.chain_states[k] = np.array(_nav_to_state15(
             prop, self.prev_ba, self.prev_bg))
         self.chain_mask[k] = True
-        self.chain_preint[k] = jax.tree.map(np.asarray, pre)
+        self.chain_preint_dev = _dev_update_preint(self.chain_preint_dev,
+                                                   k, pre)
+        self.chain_has_preint[k] = True
         self.chain_pose_meas[k] = nav_meas
 
         states = self._optimize()
@@ -254,14 +279,8 @@ class ImuOdometry:
     def _optimize(self):
         p = self.params
         K = self.window
-        pres = []
-        zero = jax.tree.map(np.asarray, PreintState.zero())
-        for k in range(K):
-            pres.append(self.chain_preint[k] if self.chain_preint[k] is not None
-                        else zero)
-        preint = jax.tree.map(lambda *a: jnp.asarray(np.stack(a)), *pres)
-        preint_mask = np.array([self.chain_preint[k] is not None
-                                for k in range(K)])
+        preint = self.chain_preint_dev
+        preint_mask = self.chain_has_preint.copy()
         pose_sigma = np.tile(np.full(6, 1e-2, np.float32), (K, 1))  # ref :111
         data = ImuChainData(
             states=jnp.asarray(self.chain_states),
@@ -303,7 +322,8 @@ class ImuOdometry:
             ]).astype(np.float32)
         self.chain_states[:] = 0
         self.chain_mask[:] = False
-        self.chain_preint = [None] * self.window
+        self.chain_preint_dev = self._zero_preint_window()
+        self.chain_has_preint[:] = False
         self.chain_pose_meas[:] = 0
         self.chain_states[0] = last_state
         self.chain_mask[0] = True

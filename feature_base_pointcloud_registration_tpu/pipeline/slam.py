@@ -71,6 +71,20 @@ def _build_local_map(kf_corner, kf_corner_mask, kf_surf, kf_surf_mask,
     return FeatureMap(cx, cmask, sx, smask)
 
 
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _dev_update_kf_slot(kc, kcm, ks, ksm, idx, corner, cmask, surf, smask):
+    """In-place (donated) single-slot update of the device-resident keyframe
+    store.  Ships one keyframe (~50 KB), not the whole [K, cap, 3] buffers
+    (~25-50 MB) — the round-2 review's device-residency item: per-keyframe
+    host->device traffic stays flat as the map grows."""
+    idx = jnp.asarray(idx, jnp.int32)
+    z = jnp.zeros((), jnp.int32)
+    return (jax.lax.dynamic_update_slice(kc, corner[None], (idx, z, z)),
+            jax.lax.dynamic_update_slice(kcm, cmask[None], (idx, z)),
+            jax.lax.dynamic_update_slice(ks, surf[None], (idx, z, z)),
+            jax.lax.dynamic_update_slice(ksm, smask[None], (idx, z)))
+
+
 @dataclasses.dataclass
 class SlamPipeline:
     """Sequential SLAM driver (odometry + mapping + optional loop closure)."""
@@ -117,6 +131,13 @@ class SlamPipeline:
         # ref: src/imuPreintegration.cpp:234-267, applied to the pose graph)
         self.pose_cov = np.zeros((6, 6))
         self.carried_prior_sigma = None      # sigma6 for window pose 0
+
+        # device mirror of the keyframe cloud buffers (host arrays stay the
+        # source of truth for graph logic / loop closure / save_map); None =
+        # stale, re-uploaded lazily.  Updated one slot at a time via donated
+        # dynamic_update_slice so per-keyframe transfer is O(keyframe), not
+        # O(map) — see _dev_update_kf_slot.
+        self._dev_clouds = None
 
         self.pose = np.zeros(6, np.float32)  # transformTobeMapped
         self.time_last_processing = -1.0
@@ -192,13 +213,22 @@ class SlamPipeline:
         sel[self._thin_poses(near, p.surrounding_keyframe_density)] = True
         recent = self.kf_times[:n] > self.kf_times[n - 1] - 10.0
         sel[:n] |= recent
+        kc, kcm, ks, ksm = self._device_clouds()
         return _build_local_map(
-            jnp.asarray(self.kf_corner), jnp.asarray(self.kf_corner_mask),
-            jnp.asarray(self.kf_surf), jnp.asarray(self.kf_surf_mask),
+            kc, kcm, ks, ksm,
             jnp.asarray(self.kf_poses), jnp.asarray(sel),
             jnp.float32(p.mapping_corner_leaf_size),
             jnp.float32(p.mapping_surf_leaf_size),
             map_corner_cap=p.map_corner_cap, map_surf_cap=p.map_surf_cap)
+
+    def _device_clouds(self):
+        """Device-resident keyframe cloud buffers (lazy full upload, then
+        one-slot incremental updates)."""
+        if self._dev_clouds is None:
+            self._dev_clouds = (
+                jnp.asarray(self.kf_corner), jnp.asarray(self.kf_corner_mask),
+                jnp.asarray(self.kf_surf), jnp.asarray(self.kf_surf_mask))
+        return self._dev_clouds
 
     # ------------------------------------------------------------ keyframes
     def _is_keyframe(self) -> bool:
@@ -317,6 +347,7 @@ class SlamPipeline:
                             for (i, m_, s_) in self.gps_factors
                             if i >= count]
         self.n_keyframes = m
+        self._dev_clouds = None   # mirror stale after the shift; re-upload
         self._log.info("mapping/evict", evicted=count, remaining=m)
 
     def _save_keyframe(self, feats: ScanFeatures, scan_time: float):
@@ -360,6 +391,13 @@ class SlamPipeline:
         self.kf_poses[n] = self.pose
         self.kf_times[n] = scan_time
         self.n_keyframes = n + 1
+        # incremental one-slot update of the device mirror
+        self._dev_clouds = _dev_update_kf_slot(
+            *self._device_clouds(), n,
+            jnp.asarray(self.kf_corner[n]),
+            jnp.asarray(self.kf_corner_mask[n]),
+            jnp.asarray(self.kf_surf[n]),
+            jnp.asarray(self.kf_surf_mask[n]))
 
         # factor-graph update (iSAM2 -> windowed LM)
         self._optimize_graph()
