@@ -123,25 +123,27 @@ def _ring_pick(ring_window, sector_cap, edge_threshold, surf_threshold,
     # permuted slot: pos = clip(sp + slot_sorted).
     curv_pad = jnp.concatenate([curv, jnp.zeros((CAP,), curv.dtype)])
 
-    def sector_table(sp, ep, ok):
-        length = jnp.where(ok, ep - sp + 1, 0)
-        slots = jnp.arange(CAP, dtype=jnp.int32)
-        sp_c = jnp.clip(sp, 0, W - 1)
-        cwin = lax.dynamic_slice(curv_pad, (sp_c,), (CAP,))
-        in_seg = slots < length
-        cval = jnp.where(in_seg, cwin, _INF)
-        # sort region excludes the last element (position ep): it keeps its
-        # slot; padding (+inf keys) stays behind it in original order.
-        sort_key = jnp.where(slots < length - 1, cval, _INF)
-        _, cval_o, slot_o = lax.sort((sort_key, cval, slots), num_keys=1,
-                                     is_stable=True)
-        pos_o = jnp.clip(sp_c + slot_o, 0, W - 1)
-        return pos_o, cval_o, slot_o < length
-
     js = jnp.arange(6, dtype=jnp.int32)
-    tab_pos, tab_val, tab_valid = jax.vmap(
-        lambda j: sector_table(sp_loc[j], ep_loc[j], sector_ok[j])
-    )(js)  # [6, CAP]
+    if strict:
+        def sector_table(sp, ep, ok):
+            length = jnp.where(ok, ep - sp + 1, 0)
+            slots = jnp.arange(CAP, dtype=jnp.int32)
+            sp_c = jnp.clip(sp, 0, W - 1)
+            cwin = lax.dynamic_slice(curv_pad, (sp_c,), (CAP,))
+            in_seg = slots < length
+            cval = jnp.where(in_seg, cwin, _INF)
+            # sort region excludes the last element (position ep): it keeps
+            # its slot; padding (+inf keys) stays behind it in original
+            # order.
+            sort_key = jnp.where(slots < length - 1, cval, _INF)
+            _, cval_o, slot_o = lax.sort((sort_key, cval, slots), num_keys=1,
+                                         is_stable=True)
+            pos_o = jnp.clip(sp_c + slot_o, 0, W - 1)
+            return pos_o, cval_o, slot_o < length
+
+        tab_pos, tab_val, tab_valid = jax.vmap(
+            lambda j: sector_table(sp_loc[j], ep_loc[j], sector_ok[j])
+        )(js)  # [6, CAP]
 
     # Column-gap prefix counts for the suppression path check: a pick at
     # pos_k suppresses candidate i iff |pos_i - pos_k| <= 5 and no column
@@ -226,11 +228,34 @@ def _ring_pick(ring_window, sector_cap, edge_threshold, surf_threshold,
         # same class as the documented ring-lane spill above).  The payoff:
         # CC steps over [CC] carries instead of 6*CC steps over [6*CC]
         # carries — ~36x less sequential-loop traffic.
+        #
+        # Candidate selection is lax.top_k, NOT a full sector sort — TPU's
+        # partial-sort TopK is ~2x the full variadic sort's throughput
+        # (measured: 0.28 vs 0.60 ms/scan at B=128).  The reference's
+        # descending pass examines the UNSORTED element at position ep
+        # first (std::sort's range [sp, ep) excludes it, ref :203 vs :208);
+        # its key is forced to +inf so TopK ranks it first, and its true
+        # curvature is restored afterwards.
         CC = min(corner_stream_cap, CAP)
-        top = rev[:CC]  # highest-curvature CC slots, descending
-        sec_pos = tab_pos[:, top]        # [6, CC]
-        sec_val = tab_val[:, top]
-        sec_valid = tab_valid[:, top]
+
+        def sector_topk(sp, ep, ok):
+            length = jnp.where(ok, ep - sp + 1, 0)
+            slots = jnp.arange(CAP, dtype=jnp.int32)
+            sp_c = jnp.clip(sp, 0, W - 1)
+            cwin = lax.dynamic_slice(curv_pad, (sp_c,), (CAP,))
+            in_seg = slots < length
+            key = jnp.where(slots == length - 1, _INF,
+                            jnp.where(in_seg, cwin, -_INF))
+            kval, kslot = lax.top_k(key, CC)
+            ep_curv = lax.dynamic_slice(
+                curv_pad, (jnp.clip(sp_c + length - 1, 0, W - 1),), (1,))[0]
+            val = jnp.where(jnp.isposinf(kval), ep_curv, kval)
+            pos = jnp.clip(sp_c + kslot, 0, W - 1)
+            return pos, val, kval > -_INF
+
+        sec_pos, sec_val, sec_valid = jax.vmap(
+            lambda j: sector_topk(sp_loc[j], ep_loc[j], sector_ok[j])
+        )(js)  # [6, CC]
         bp6 = bc_pick[sec_pos]           # [6, CC, 2] gather, once
         bc6 = bp6[..., 0].astype(jnp.int32)
         alive6 = ~(bp6[..., 1] > 0)

@@ -47,27 +47,54 @@ def _voxel_impl(pts, mask, inv_leaf, cap):
     sp = jnp.stack([sx, sy, sz], -1)
     sm = smf > 0
 
-    same = jnp.concatenate(
+    # Segment means WITHOUT a scatter: per-lane scatter-adds dominate the
+    # vmapped kernel on TPU (measured 1.72 ms/scan vs 0.56 for this path at
+    # B=128x16 ring lanes).  Instead: a SEGMENTED prefix sum of the [xyz|1]
+    # payload along the sorted order (associative_scan with a segment-start
+    # flag — sums stay local to each voxel, so no cross-segment float
+    # cancellation like a cumsum-diff would have), then pull each voxel's
+    # last row (= its segment total) with one more (key, row) sort.
+    same_prev = jnp.concatenate(
         [jnp.zeros((1,), bool),
          (sk1[1:] == sk1[:-1]) & (sk2[1:] == sk2[:-1])]
     )
-    is_new = sm & ~same
+    is_new = sm & ~same_prev
     voxel_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    voxel_id = jnp.where(sm, voxel_id, cap)  # invalid -> dropped
-    voxel_id = jnp.minimum(voxel_id, cap)    # overflow voxels dropped
+    n_vox = jnp.sum(is_new.astype(jnp.int32))
+    same_next = jnp.concatenate(
+        [(sk1[1:] == sk1[:-1]) & (sk2[1:] == sk2[:-1]),
+         jnp.zeros((1,), bool)]
+    )
+    is_end = sm & ~same_next
 
-    # One fused scatter-add of [xyz | 1]; voxel_id ascends after the sort,
-    # which unlocks XLA's sorted-scatter fast path on TPU.
     vals = jnp.concatenate(
         [jnp.where(sm[:, None], sp, 0.0), sm[:, None].astype(pts.dtype)], -1)
-    acc = jnp.zeros((cap + 1, 4), pts.dtype).at[voxel_id].add(
-        vals, indices_are_sorted=True)[:cap]
-    sums, counts = acc[:, :3], acc[:, 3]
 
-    out_mask = counts > 0
+    def seg_op(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av + bv), af | bf
+
+    flag = is_new[:, None] | ~sm[:, None]  # invalid rows break segments too
+    cum, _ = lax.associative_scan(seg_op, (vals, jnp.broadcast_to(flag, vals.shape)))
+
+    # voxels beyond `cap` drop deterministically (largest ids first), and
+    # slots past n_vox would otherwise hold arbitrary equal-key payload
+    # rows — both masked below.
+    end_key = jnp.where(is_end, voxel_id, _KEY_MAX)
+    _, c0, c1, c2, c3 = lax.sort(
+        (end_key, cum[:, 0], cum[:, 1], cum[:, 2], cum[:, 3]),
+        num_keys=1, is_stable=False)
+    k = min(cap, n)
+    seg = jnp.stack([c0[:k], c1[:k], c2[:k], c3[:k]], -1)
+    if k < cap:
+        seg = jnp.concatenate([seg, jnp.zeros((cap - k, 4), pts.dtype)])
+    sums, counts = seg[:, :3], seg[:, 3]
+
+    out_mask = jnp.arange(cap) < jnp.minimum(n_vox, cap)
     out = sums / jnp.maximum(counts, 1.0)[:, None]
     out = jnp.where(out_mask[:, None], out, 0.0)
-    return out, out_mask, jnp.sum(out_mask).astype(jnp.int32)
+    return out, out_mask, jnp.minimum(n_vox, cap).astype(jnp.int32)
 
 
 def voxel_downsample(pts, mask, leaf_size, cap: int):
