@@ -124,14 +124,6 @@ def _project_scan_impl(scan: RawScan, deskew_info: DeskewInfo, *, n_scan,
 
     cell = jnp.where(gate, row * horizon_scan + col, G)  # G = dropped
 
-    # First-write-wins per cell = min arrival index per cell (ref :623-633).
-    idx = jnp.arange(N, dtype=jnp.int32)
-    winner = jnp.full((G,), N, jnp.int32).at[cell].min(
-        jnp.where(gate, idx, N), mode="drop"
-    )
-    grid_valid = winner < N
-    wsafe = jnp.minimum(winner, N - 1)
-
     # Deskew all candidate points relative to the first surviving point
     # (firstPointFlag semantics, ref :562-566).
     if enable_deskew:
@@ -149,38 +141,54 @@ def _project_scan_impl(scan: RawScan, deskew_info: DeskewInfo, *, n_scan,
     else:
         pts = scan.xyz
 
-    # One packed 5-wide gather at the winning point index (separate 1-wide
-    # gathers are row-rate-limited on TPU)
-    pdata = jnp.concatenate(
-        [pts, rng[:, None], scan.intensity[:, None]], -1)  # [N, 5]
-    grid_data = jnp.where(grid_valid[:, None], pdata[wsafe], 0.0)
-    grid_xyz = grid_data[:, :3]
-    grid_range = jnp.where(grid_valid, grid_data[:, 3], FLT_MAX)
-    grid_intensity = grid_data[:, 4]
-
-    # --- cloudExtraction: row-major compaction (ref :642-670) ---
-    # Stable payload sort by validity: valid cells keep row-major order
-    # (the serial push_back order) and every channel rides the sort — no
-    # scatter, no post-sort gathers.
-    num_points = jnp.sum(grid_valid).astype(jnp.int32)
-    comp_valid = jnp.arange(G) < num_points
-    cols = (jnp.arange(G, dtype=jnp.int32) % horizon_scan).astype(jnp.float32)
-    _, cx, cy, cz, crng, cint, ccol = lax.sort(
-        ((~grid_valid).astype(jnp.int32), grid_xyz[:, 0], grid_xyz[:, 1],
-         grid_xyz[:, 2], grid_range, grid_intensity, cols),
+    # First-write-wins + compaction as two N-sized stable payload sorts —
+    # no scatter, no winner gather, no G-sized grid pass (those three were
+    # ~55% of the fused frontend's device time at B=128).
+    #   sort 1 (by cell): equal cells keep arrival order, so the first
+    #     element of each run is the reference's first-write winner
+    #     (ref :623-633); runs are in ascending-cell = row-major order.
+    #   sort 2 (winners first): stable, so winners stay in row-major
+    #     order = the serial push_back order of cloudExtraction
+    #     (ref :642-670).
+    cell_s, xs, ys, zs, rngs, ints = lax.sort(
+        (cell, pts[:, 0], pts[:, 1], pts[:, 2], rng, scan.intensity),
         num_keys=1, is_stable=True)
-    comp_xyz = jnp.stack([cx, cy, cz], -1)
-    comp_range = jnp.where(comp_valid, crng, 0.0)
-    comp_intensity = cint
-    comp_col = jnp.where(comp_valid, ccol.astype(jnp.int32), 0)
+    first_in_run = jnp.concatenate(
+        [jnp.ones((1,), bool), cell_s[1:] != cell_s[:-1]])
+    is_winner = (cell_s < G) & first_in_run
+    num_points = jnp.sum(is_winner).astype(jnp.int32)
 
-    # Ring start/end with the ±5 curvature margins (ref :650,668).
-    ring_counts = jnp.sum(
-        grid_valid.reshape(n_scan, horizon_scan), axis=1
-    ).astype(jnp.int32)
-    count_before = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(ring_counts)[:-1]]
-    )
+    # Demote losers' cells to G so the compacted cell array is globally
+    # nondecreasing (winners ascending, then all G) — ring offsets become
+    # searchsorted lookups instead of a scatter.
+    cell_w = jnp.where(is_winner, cell_s, G)
+    _, ccell, cx, cy, cz, crng, cint = lax.sort(
+        ((~is_winner).astype(jnp.int32), cell_w, xs, ys, zs, rngs, ints),
+        num_keys=1, is_stable=True)
+
+    def fit(a, fill):
+        if N >= G:
+            return a[:G]
+        return jnp.concatenate(
+            [a, jnp.full((G - N,), fill, a.dtype)])
+
+    comp_valid = jnp.arange(G) < num_points
+    ccell = fit(ccell, G)
+    comp_xyz = jnp.where(
+        comp_valid[:, None],
+        jnp.stack([fit(cx, 0.0), fit(cy, 0.0), fit(cz, 0.0)], -1), 0.0)
+    comp_range = jnp.where(comp_valid, fit(crng, 0.0), 0.0)
+    comp_intensity = jnp.where(comp_valid, fit(cint, 0.0), 0.0)
+    comp_col = jnp.where(comp_valid, ccell % horizon_scan, 0)
+
+    # Ring start/end with the ±5 curvature margins (ref :650,668):
+    # count_before[r] = #winners with cell < r*H, via searchsorted on the
+    # sorted compacted cell array.
+    ring_edges = jnp.searchsorted(
+        ccell, jnp.arange(n_scan + 1, dtype=jnp.int32) * horizon_scan,
+        side="left").astype(jnp.int32)
+    count_before = ring_edges[:-1]
+    ring_counts = ring_edges[1:] - ring_edges[:-1]
     start_ring_index = count_before - 1 + 5
     end_ring_index = count_before + ring_counts - 1 - 5
 
