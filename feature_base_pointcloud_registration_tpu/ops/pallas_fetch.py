@@ -35,12 +35,19 @@ _WAVE = int(__import__('os').environ.get('FBPR_FETCH_WAVE', '128'))  # rows per 
 _TILE = int(__import__('os').environ.get('FBPR_FETCH_TILE', '512'))  # queries per program
 
 
-def build_block_table_planar(sentinel_table, *, dims):
+def build_block_table_planar(sentinel_table, *, dims, compact: bool = True):
     """[n_cells+1, 3*cap] sentinel table -> [n_cells+1, S, 128] plane-major
-    block rows, S = 24*cap/128 (cap must be a multiple of 16).
+    block rows (cap must be a multiple of 16).
 
-    Row b = [x-planes of cells b+(0..1)^3 | y-planes | z-planes], each plane
-    `cap` wide; out-of-grid neighbors take the sentinel row (index n_cells).
+    Row b covers cells b+(0..1)^3; out-of-grid neighbors take the sentinel
+    row (index n_cells).  With compact=True (default) each row's VALID
+    points are packed to the front and the row width shrinks from 8*cap to
+    Wb = max-over-blocks valid count rounded up to 128: the fetch kernel's
+    d2/top-K cost scales with the row width, and per-cell caps sized for
+    the densest single cell leave most of an 8-cell row as FAR padding
+    (measured 384 -> 256 surf, 256 -> 128 corner on the bench map).  The
+    candidate SET per query is unchanged — only slot order within the row.
+    S = 3*Wb/128; pass W = Wb (= table.shape[1]//3*128) to the kernel.
     """
     Gx, Gy, Gz = dims
     n_cells = Gx * Gy * Gz
@@ -60,6 +67,25 @@ def build_block_table_planar(sentinel_table, *, dims):
                 ok = (nx < Gx) & (ny < Gy) & (nz < Gz)
                 nc = jnp.where(ok, (nx * Gy + ny) * Gz + nz, n_cells)
                 neighbor_rows.append(sentinel_table[nc])   # [n_cells, 3*cap]
+    if compact:
+        X = jnp.concatenate([r[:, 0:cap] for r in neighbor_rows], axis=1)
+        Y = jnp.concatenate([r[:, cap:2 * cap] for r in neighbor_rows],
+                            axis=1)
+        Z = jnp.concatenate([r[:, 2 * cap:3 * cap] for r in neighbor_rows],
+                            axis=1)
+        invalid = (X >= 1e8).astype(jnp.int32)
+        _, X, Y, Z = jax.lax.sort((invalid, X, Y, Z), dimension=1,
+                                  num_keys=1)
+        max_valid = int(jnp.max(jnp.sum(1 - invalid, axis=1)))
+        Wb = max(128, -(-max_valid // 128) * 128)
+        if Wb < 8 * cap:
+            X, Y, Z = X[:, :Wb], Y[:, :Wb], Z[:, :Wb]
+        else:
+            Wb = 8 * cap
+        block = jnp.concatenate([X, Y, Z], axis=1)         # [n_cells, 3*Wb]
+        sent = jnp.full((1, 3 * Wb), _FAR, sentinel_table.dtype)
+        table = jnp.concatenate([block, sent], axis=0)
+        return table.reshape(table.shape[0], (3 * Wb) // 128, 128)
     planes = []
     for axis in range(3):                                  # plane-major
         for r in neighbor_rows:
@@ -127,6 +153,29 @@ def _fetch_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, bcv_ref, table_ref,
         def _():
             start_wave((w + 1) % 2, w + 1)
 
+        # Wave-level sentinel skip: padded/invalid queries all map to the
+        # sentinel row and the caller pre-sorts queries by row, so whole
+        # waves at the tail of each lane are sentinel-only.  Their DMAs were
+        # never started; skip the compute too and just write "no candidate".
+        # (Exact test — a live query anywhere in the wave disables the skip,
+        # so mid-batch out-of-grid queries at a later-round pose are safe.)
+        qsl = pl.ds(w * _WAVE, _WAVE)
+        any_live = jnp.min(bcv_ref[qsl, :]) != sentinel
+
+        @pl.when(jnp.logical_not(any_live))
+        def _():
+            d2_ref[qsl, :] = jnp.full((_WAVE, K), 3.0e38, jnp.float32)
+            zeros = jnp.zeros((_WAVE, K), jnp.float32)
+            nnx_ref[qsl, :] = zeros
+            nny_ref[qsl, :] = zeros
+            nnz_ref[qsl, :] = zeros
+
+        @pl.when(any_live)
+        def _():
+            compute_wave(w, slot)
+        return carry
+
+    def compute_wave(w, slot):
         wait_wave(slot, w)
 
         rows = buf[slot]                                   # [WAVE, 3*S3, 128]
@@ -141,7 +190,8 @@ def _fetch_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, bcv_ref, table_ref,
         rows_w = lax.broadcasted_iota(jnp.int32, (_WAVE, 1), 0)
         prevv = jnp.concatenate([bcw[0:1], bcw[:-1]], axis=0)
         need = ((rows_w != 0) & (bcw == prevv)).astype(jnp.float32)
-        for sft in (1, 2, 4, 8, 16, 32, 64):
+        sft = 1
+        while sft < _WAVE:
             Xs = jnp.concatenate([X[:sft], X[:-sft]], axis=0)
             Ys = jnp.concatenate([Y[:sft], Y[:-sft]], axis=0)
             Zs = jnp.concatenate([Z[:sft], Z[:-sft]], axis=0)
@@ -150,6 +200,7 @@ def _fetch_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, bcv_ref, table_ref,
             Y = jnp.where(need > 0, Ys, Y)
             Z = jnp.where(need > 0, Zs, Z)
             need = need * ns
+            sft *= 2
         qx = qx_ref[qsl, :]                                # [WAVE, 1]
         qy = qy_ref[qsl, :]
         qz = qz_ref[qsl, :]
@@ -180,7 +231,6 @@ def _fetch_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, bcv_ref, table_ref,
         nnx_ref[qsl, :] = jnp.concatenate(xs_, axis=1)
         nny_ref[qsl, :] = jnp.concatenate(ys_, axis=1)
         nnz_ref[qsl, :] = jnp.concatenate(zs_, axis=1)
-        return carry
 
     lax.fori_loop(0, n_waves, wave_body, jnp.int32(0), unroll=False)
 
@@ -190,8 +240,9 @@ def fused_block_fetch(table_planar, bcell, query, *, W: int, K: int = 8):
     """query [Q,3], bcell [Q] int32 row ids -> (d2 [Q,K], nn [Q,K,3]).
 
     Q must be a multiple of 256 (pad queries; point padded bcell rows at the
-    sentinel row).  W = 8*cell_cap candidates per block row; table_planar
-    from build_block_table_planar ([rows, 3*W/128, 128]).
+    sentinel row).  W = candidates per block row = table_planar.shape[1]
+    // 3 * 128 (8*cell_cap uncompacted, the packed row width otherwise);
+    table_planar from build_block_table_planar ([rows, 3*W/128, 128]).
     """
     Q = query.shape[0]
     assert Q % _TILE == 0, Q
@@ -265,7 +316,7 @@ def make_pallas_block_knn(table_planar, origin, cell_size, *, dims, cell_cap,
                           k: int = 8):
     """Fetch closure (query [Q,3] -> (d2 [Q,k], nn [Q,k,3])) on the fused
     kernel; same contract as ops.hashgrid.make_block_grid_knn."""
-    W = 8 * cell_cap
+    W = table_planar.shape[1] // 3 * 128
 
     def f(q):
         bcell = block_cell_of(q, origin, cell_size, dims=dims)

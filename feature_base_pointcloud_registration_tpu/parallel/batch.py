@@ -409,9 +409,9 @@ def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
         sbc = jnp.where(smask_flat, sbc, surf_planar.shape[0] - 1)
         _, cnn = fused_block_fetch(corner_planar, cbc,
                                    cw.reshape(B * Pc, 3),
-                                   W=8 * corner_cell_cap, K=K)
+                                   W=corner_planar.shape[1] // 3 * 128, K=K)
         _, snn = fused_block_fetch(surf_planar, sbc, sw.reshape(B * Ps, 3),
-                                   W=8 * surf_cell_cap, K=K)
+                                   W=surf_planar.shape[1] // 3 * 128, K=K)
         return cand_planes(cnn, Pc), cand_planes(snn, Ps)
 
     for r in range(num_rounds):
