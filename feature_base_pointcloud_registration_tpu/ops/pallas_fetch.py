@@ -20,10 +20,13 @@ gates treat d2 > 1e17 as no-candidate.
 
 from __future__ import annotations
 
+import os
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -31,8 +34,13 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = jnp.float32(3.0e38)
 _FAR = 1.0e9
 
-_WAVE = int(__import__('os').environ.get('FBPR_FETCH_WAVE', '128'))  # rows per DMA wave (double-buffered)
-_TILE = int(__import__('os').environ.get('FBPR_FETCH_TILE', '512'))  # queries per program
+_WAVE = int(os.environ.get('FBPR_FETCH_WAVE', '128'))  # rows per DMA wave (double-buffered)
+_TILE = int(os.environ.get('FBPR_FETCH_TILE', '512'))  # queries per program
+# dedup consecutive same-row DMAs (queries presorted by row) + log-step
+# forward fill in compute; 0 (default) = DMA every row unconditionally.
+# Measured SLOWER when on: the 3-array log-step fill burns more VPU passes
+# than the skipped DMA issues cost (1.32 vs 1.45 ms/scan at B=128).
+_DEDUP = os.environ.get('FBPR_FETCH_DEDUP', '0') == '1'
 
 
 def build_block_table_planar(sentinel_table, *, dims, compact: bool = True):
@@ -120,7 +128,7 @@ def _fetch_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, bcv_ref, table_ref,
         # share a row; only the first slot of each run issues a DMA, the
         # rest forward-fill from it in the compute phase.  Slot 0 of every
         # wave always counts as fresh so fills never cross a wave.
-        if r == 0:
+        if r == 0 or not _DEDUP:
             pred = row != sentinel
         else:
             prev = bcell_ref[wave * _WAVE + r - 1, 0]
@@ -184,23 +192,24 @@ def _fetch_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, bcv_ref, table_ref,
         Z = rows[:, 2 * S3:3 * S3, :].reshape(_WAVE, W)
         qsl = pl.ds(w * _WAVE, _WAVE)
 
-        # forward-fill slots whose DMA was deduped (same row as the slot
-        # above): log-step "copy last fresh row downward"
-        bcw = bcv_ref[qsl, :]                              # (WAVE,1) i32
-        rows_w = lax.broadcasted_iota(jnp.int32, (_WAVE, 1), 0)
-        prevv = jnp.concatenate([bcw[0:1], bcw[:-1]], axis=0)
-        need = ((rows_w != 0) & (bcw == prevv)).astype(jnp.float32)
-        sft = 1
-        while sft < _WAVE:
-            Xs = jnp.concatenate([X[:sft], X[:-sft]], axis=0)
-            Ys = jnp.concatenate([Y[:sft], Y[:-sft]], axis=0)
-            Zs = jnp.concatenate([Z[:sft], Z[:-sft]], axis=0)
-            ns = jnp.concatenate([need[:sft], need[:-sft]], axis=0)
-            X = jnp.where(need > 0, Xs, X)
-            Y = jnp.where(need > 0, Ys, Y)
-            Z = jnp.where(need > 0, Zs, Z)
-            need = need * ns
-            sft *= 2
+        if _DEDUP:
+            # forward-fill slots whose DMA was deduped (same row as the slot
+            # above): log-step "copy last fresh row downward"
+            bcw = bcv_ref[qsl, :]                          # (WAVE,1) i32
+            rows_w = lax.broadcasted_iota(jnp.int32, (_WAVE, 1), 0)
+            prevv = jnp.concatenate([bcw[0:1], bcw[:-1]], axis=0)
+            need = ((rows_w != 0) & (bcw == prevv)).astype(jnp.float32)
+            sft = 1
+            while sft < _WAVE:
+                Xs = jnp.concatenate([X[:sft], X[:-sft]], axis=0)
+                Ys = jnp.concatenate([Y[:sft], Y[:-sft]], axis=0)
+                Zs = jnp.concatenate([Z[:sft], Z[:-sft]], axis=0)
+                ns = jnp.concatenate([need[:sft], need[:-sft]], axis=0)
+                X = jnp.where(need > 0, Xs, X)
+                Y = jnp.where(need > 0, Ys, Y)
+                Z = jnp.where(need > 0, Zs, Z)
+                need = need * ns
+                sft *= 2
         qx = qx_ref[qsl, :]                                # [WAVE, 1]
         qy = qy_ref[qsl, :]
         qz = qz_ref[qsl, :]
@@ -298,6 +307,165 @@ def fused_block_fetch(table_planar, bcell, query, *, W: int, K: int = 8):
     return d2, nn
 
 
+_RESIDENT_GROUP = int(os.environ.get('FBPR_RFETCH_GROUP', '32'))
+_RESIDENT_VMEM_CAP = int(os.environ.get(
+    'FBPR_RFETCH_VMEM_CAP', str(10 * 1024 * 1024)))
+
+
+class PlanarTable(NamedTuple):
+    """Row-compacted planar block table for the VMEM-resident fetch.
+
+    table: [Rp+1, 3*W/128, 128] — populated block rows only, sentinel last.
+    rows_index: [n_cells+1] i32 — raw block-cell id -> compact row
+    (unpopulated and sentinel cells -> Rp).
+    """
+    table: object
+    rows_index: object
+
+
+def compact_row_space(table_planar):
+    """Drop unpopulated block rows.  [R, S, 128] -> PlanarTable.
+
+    Most of a map grid's cells are empty (the grid covers the bounding box;
+    the cloud covers surfaces): on the bench map ~2.3k of 6.3k block rows
+    hold any candidate.  The resident fetch keeps the whole table in VMEM,
+    so row compaction is what makes it fit (~16 MB/core, pallas guide).
+    """
+    R = table_planar.shape[0]
+    S = table_planar.shape[1]
+    S3 = S // 3
+    # a row is populated iff any x-plane slot is valid (< FAR)
+    xplanes = table_planar[:, 0:S3, :].reshape(R, S3 * 128)
+    pop = jnp.any(xplanes < 1e8, axis=1)
+    pop = pop.at[R - 1].set(False)              # old sentinel row drops
+    idx = np.where(np.asarray(pop))[0]
+    Rp = len(idx)
+    rows_index = np.full(R, Rp, np.int32)
+    rows_index[idx] = np.arange(Rp, dtype=np.int32)
+    compact = jnp.concatenate(
+        [table_planar[jnp.asarray(idx)],
+         jnp.full((1, S, 128), _FAR, table_planar.dtype)], axis=0)
+    return PlanarTable(table=compact, rows_index=jnp.asarray(rows_index))
+
+
+def _resident_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, table_ref,
+                     d2_ref, nnx_ref, nny_ref, nnz_ref, *, S3: int, K: int):
+    """One program: _TILE queries against the VMEM-resident table.
+
+    No DMA machinery at all: each query's block row is a dynamic-slice
+    VMEM load (scalar row id from SMEM).  The per-slot conditional DMA
+    start/wait chains of _fetch_kernel were its measured bottleneck
+    (~60 ms/batch of scalar-unit work at B=128); here the scalar unit only
+    computes G load addresses per group.  Padded/out-of-grid queries read
+    the sentinel row (all FAR) and fall out as d2 > 1e17 downstream —
+    no validity plane, no stale-buffer forcing.
+    """
+    G = _RESIDENT_GROUP
+    W = S3 * 128
+    sentinel = table_ref.shape[0] - 1
+
+    for g in range(_TILE // G):
+        base = g * G
+        live = jnp.int32(0)
+        for j in range(G):
+            live = live | jnp.where(bcell_ref[base + j, 0] != sentinel, 1, 0)
+        qsl = pl.ds(base, G)
+
+        @pl.when(live == 0)
+        def _():
+            d2_ref[qsl, :] = jnp.full((G, K), 3.0e38, jnp.float32)
+            zeros = jnp.zeros((G, K), jnp.float32)
+            nnx_ref[qsl, :] = zeros
+            nny_ref[qsl, :] = zeros
+            nnz_ref[qsl, :] = zeros
+
+        @pl.when(live != 0)
+        def _():
+            rows = [table_ref[bcell_ref[base + j, 0]] for j in range(G)]
+            R = jnp.stack(rows)                            # [G, 3*S3, 128]
+            X = R[:, 0 * S3:1 * S3, :].reshape(G, W)
+            Y = R[:, 1 * S3:2 * S3, :].reshape(G, W)
+            Z = R[:, 2 * S3:3 * S3, :].reshape(G, W)
+            qx = qx_ref[qsl, :]                            # [G, 1]
+            qy = qy_ref[qsl, :]
+            qz = qz_ref[qsl, :]
+            dx = X - qx
+            dy = Y - qy
+            dz = Z - qz
+            d2 = dx * dx + dy * dy + dz * dz               # [G, W]
+            cols = lax.broadcasted_iota(jnp.int32, (G, W), 1)
+
+            ds_, xs_, ys_, zs_ = [], [], [], []
+            d2m = d2
+            for _k in range(K):
+                m = jnp.min(d2m, axis=1, keepdims=True)    # [G, 1]
+                first = jnp.min(jnp.where(d2m == m, cols, W), axis=1,
+                                keepdims=True)
+                oh = (cols == first).astype(jnp.float32)
+                ds_.append(m)
+                xs_.append(jnp.sum(X * oh, axis=1, keepdims=True))
+                ys_.append(jnp.sum(Y * oh, axis=1, keepdims=True))
+                zs_.append(jnp.sum(Z * oh, axis=1, keepdims=True))
+                d2m = jnp.where(cols == first, 3.0e38, d2m)
+
+            d2_ref[qsl, :] = jnp.concatenate(ds_, axis=1)  # [G, K]
+            nnx_ref[qsl, :] = jnp.concatenate(xs_, axis=1)
+            nny_ref[qsl, :] = jnp.concatenate(ys_, axis=1)
+            nnz_ref[qsl, :] = jnp.concatenate(zs_, axis=1)
+
+
+@partial(jax.jit, static_argnames=("W", "K"))
+def fused_resident_fetch(table_compact, bcell, query, *, W: int, K: int = 8):
+    """Resident-table variant of fused_block_fetch: same contract, but
+    `table_compact` (from compact_row_space) lives whole in VMEM and
+    `bcell` holds COMPACT row ids (route through PlanarTable.rows_index)."""
+    Q = query.shape[0]
+    assert Q % _TILE == 0, Q
+    assert W % 128 == 0, W
+    S3 = W // 128
+    assert table_compact.shape[1] == 3 * S3, (table_compact.shape, W)
+    grid = (Q // _TILE,)
+
+    kernel = partial(_resident_kernel, S3=S3, K=K)
+    d2, nnx, nny, nnz = pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() != "tpu",
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # whole table
+        ],
+        out_specs=[
+            pl.BlockSpec((_TILE, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, K), jnp.float32),
+            jax.ShapeDtypeStruct((Q, K), jnp.float32),
+            jax.ShapeDtypeStruct((Q, K), jnp.float32),
+            jax.ShapeDtypeStruct((Q, K), jnp.float32),
+        ],
+    )(bcell[:, None], query[:, 0:1], query[:, 1:2], query[:, 2:3],
+      table_compact)
+
+    nn = jnp.stack([nnx, nny, nnz], axis=-1)
+    d2 = jnp.where(d2 > 1e17, _BIG, d2)
+    return d2, nn
+
+
 def block_cell_of(query, origin, cell_size, *, dims):
     """Block-corner row id per query (octant rule; out-of-grid -> sentinel)."""
     Gx, Gy, Gz = dims
@@ -315,7 +483,18 @@ def block_cell_of(query, origin, cell_size, *, dims):
 def make_pallas_block_knn(table_planar, origin, cell_size, *, dims, cell_cap,
                           k: int = 8):
     """Fetch closure (query [Q,3] -> (d2 [Q,k], nn [Q,k,3])) on the fused
-    kernel; same contract as ops.hashgrid.make_block_grid_knn."""
+    kernel; same contract as ops.hashgrid.make_block_grid_knn.  Accepts a
+    raw planar table (DMA-wave kernel) or a PlanarTable (resident kernel)."""
+    if isinstance(table_planar, PlanarTable):
+        W = table_planar.table.shape[1] // 3 * 128
+
+        def f(q):
+            bcell = block_cell_of(q, origin, cell_size, dims=dims)
+            return fused_resident_fetch(
+                table_planar.table, table_planar.rows_index[bcell], q,
+                W=W, K=k)
+
+        return f
     W = table_planar.shape[1] // 3 * 128
 
     def f(q):

@@ -214,12 +214,20 @@ def build_map_block_tables(local_map: FeatureMap, center, half_extent,
 
 def build_map_planar_tables(local_map: FeatureMap, center, half_extent,
                             cell_size: float = 2.0, corner_cell_cap: int = 16,
-                            surf_cell_cap: int = 64, margin: float = 2.0):
+                            surf_cell_cap: int = 64, margin: float = 2.0,
+                            resident: bool = False):
     """Plane-major block tables for the Pallas fused-fetch path.  Returns
-    (corner_table [R,S,128], surf_table [R,S,128], origin, dims)."""
+    (corner_table, surf_table, origin, dims).  resident=True row-compacts
+    each table into a PlanarTable for the VMEM-resident fetch when it fits
+    the VMEM budget — measured SLOWER than the DMA-wave kernel (592 vs 812
+    scans/s at B=128: stacking rows via VPU dynamic-slice loads costs more
+    than the DMA engine's overlapped copies), kept as a tested alternative
+    for maps whose DMA-issue profile differs."""
     from ..ops.hashgrid import (build_grid_sentinel, default_grid_spec,
                                 grid_origin)
-    from ..ops.pallas_fetch import build_block_table_planar
+    from ..ops.pallas_fetch import (_RESIDENT_VMEM_CAP,
+                                    build_block_table_planar,
+                                    compact_row_space)
 
     dims = default_grid_spec(half_extent, cell_size, margin)
     origin = grid_origin(center, half_extent, margin)
@@ -231,6 +239,13 @@ def build_map_planar_tables(local_map: FeatureMap, center, half_extent,
                               cell_cap=surf_cell_cap)
     cpt = build_block_table_planar(cst, dims=dims)
     spt = build_block_table_planar(sst, dims=dims)
+    if resident:
+        def maybe_compact(t):
+            c = compact_row_space(t)
+            return c if c.table.size * 4 <= _RESIDENT_VMEM_CAP else t
+
+        cpt = maybe_compact(cpt)
+        spt = maybe_compact(spt)
     return cpt, spt, origin, dims
 
 
@@ -312,7 +327,8 @@ def batch_register_blocks(features: ScanFeatures, corner_block, surf_block,
                                    "num_rounds", "iters_per_round",
                                    "num_candidates", "min_correspondences",
                                    "edge_min_valid", "surf_min_valid",
-                                   "shared_fetch"))
+                                   "shared_fetch", "skip_converged_refetch",
+                                   "presort_rows"))
 def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
                          origin, init_poses, *, grid_dims,
                          cell_size: float = 2.0, corner_cell_cap: int = 16,
@@ -321,7 +337,9 @@ def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
                          min_correspondences: int = 50,
                          edge_min_valid: int = 10,
                          surf_min_valid: int = 100,
-                         shared_fetch: bool = False) -> RegisterResult:
+                         shared_fetch: bool = False,
+                         skip_converged_refetch: bool = False,
+                         presort_rows: bool = False) -> RegisterResult:
     """Fused-kernel batched solve: Pallas fetch + Pallas GN-round kernel.
 
     Two kernels per round (candidate fetch, full GN iteration loop) instead
@@ -332,7 +350,8 @@ def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
     batch_register_blocks is tested (same candidate sets, same gates).
     """
     from ..geom.se3 import euler_to_rot
-    from ..ops.pallas_fetch import block_cell_of, fused_block_fetch
+    from ..ops.pallas_fetch import (PlanarTable, block_cell_of,
+                                    fused_block_fetch, fused_resident_fetch)
     from ..ops.pallas_gn import STAT, gn_round_pallas
 
     B, Pc, _ = features.corner_xyz.shape
@@ -340,32 +359,53 @@ def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
     K = num_candidates
     prec = jax.lax.Precision.HIGHEST
 
+    # raw planar array -> DMA-wave kernel; PlanarTable (row-compacted, fits
+    # VMEM) -> resident kernel with no per-query DMA machinery.
+    def sentinel_of(planar):
+        if isinstance(planar, PlanarTable):
+            return planar.rows_index.shape[0] - 1
+        return planar.shape[0] - 1
+
+    def run_fetch(planar, bc, w):
+        if isinstance(planar, PlanarTable):
+            return fused_resident_fetch(
+                planar.table, planar.rows_index[bc], w,
+                W=planar.table.shape[1] // 3 * 128, K=K)
+        return fused_block_fetch(planar, bc, w,
+                                 W=planar.shape[1] // 3 * 128, K=K)
+
     # Per-lane presort of features by their block row at the initial pose:
     # the solver is permutation-invariant per lane, and row-sorted queries
-    # let the fetch kernel dedup per-query row DMAs (the fetch's bound).
-    # Invalid/padded features sort to the tail (sentinel = max row id).
+    # let the fetch kernel dedup per-query row DMAs (presort=True pairs
+    # with FBPR_FETCH_DEDUP=1).  Both default OFF: the dedup fill loop and
+    # the 5-operand sorts together cost more than the skipped DMA issues
+    # (1.32 vs 1.45 ms/scan at B=128).  The fetch kernel's wave-level
+    # sentinel skip needs only valid-prefix masks, which the frontend's
+    # compaction already produces — presorting is a perf hint, never a
+    # correctness requirement.
     pose_init = jnp.asarray(init_poses, jnp.float32)
-    R0 = jax.vmap(euler_to_rot)(pose_init[:, 0], pose_init[:, 1],
-                                pose_init[:, 2])
+    if presort_rows:
+        R0 = jax.vmap(euler_to_rot)(pose_init[:, 0], pose_init[:, 1],
+                                    pose_init[:, 2])
 
-    def presort(xyz, mask, planar):
-        P = xyz.shape[1]
-        w0 = jnp.einsum("bij,bpj->bpi", R0, xyz,
-                        precision=prec) + pose_init[:, None, 3:6]
-        bc = block_cell_of(w0.reshape(B * P, 3), origin, cell_size,
-                           dims=grid_dims).reshape(B, P)
-        bc = jnp.where(mask, bc, planar.shape[0] - 1)
-        _, xs, ys, zs, ms = jax.lax.sort(
-            (bc, xyz[..., 0], xyz[..., 1], xyz[..., 2],
-             mask.astype(jnp.int32)), dimension=1, num_keys=1)
-        return jnp.stack([xs, ys, zs], axis=-1), ms.astype(bool)
+        def presort(xyz, mask, planar):
+            P = xyz.shape[1]
+            w0 = jnp.einsum("bij,bpj->bpi", R0, xyz,
+                            precision=prec) + pose_init[:, None, 3:6]
+            bc = block_cell_of(w0.reshape(B * P, 3), origin, cell_size,
+                               dims=grid_dims).reshape(B, P)
+            bc = jnp.where(mask, bc, sentinel_of(planar))
+            _, xs, ys, zs, ms = jax.lax.sort(
+                (bc, xyz[..., 0], xyz[..., 1], xyz[..., 2],
+                 mask.astype(jnp.int32)), dimension=1, num_keys=1)
+            return jnp.stack([xs, ys, zs], axis=-1), ms.astype(bool)
 
-    cxyz, cmask = presort(features.corner_xyz, features.corner_mask,
-                          corner_planar)
-    sxyz, smask = presort(features.surf_xyz, features.surf_mask,
-                          surf_planar)
-    features = features._replace(corner_xyz=cxyz, corner_mask=cmask,
-                                 surf_xyz=sxyz, surf_mask=smask)
+        cxyz, cmask = presort(features.corner_xyz, features.corner_mask,
+                              corner_planar)
+        sxyz, smask = presort(features.surf_xyz, features.surf_mask,
+                              surf_planar)
+        features = features._replace(corner_xyz=cxyz, corner_mask=cmask,
+                                     surf_xyz=sxyz, surf_mask=smask)
 
     featc = jnp.concatenate(
         [jnp.transpose(features.corner_xyz, (0, 2, 1)),
@@ -392,7 +432,7 @@ def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
     cmask_flat = features.corner_mask.reshape(B * Pc)
     smask_flat = features.surf_mask.reshape(B * Ps)
 
-    def fetch(pose):
+    def fetch(pose, skip_lane=None):
         R = jax.vmap(euler_to_rot)(pose[:, 0], pose[:, 1], pose[:, 2])
         cw = jnp.einsum("bij,bpj->bpi", R, features.corner_xyz,
                         precision=prec) + pose[:, None, 3:6]
@@ -404,20 +444,40 @@ def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
                             dims=grid_dims)
         # padded/invalid features -> sentinel row: the fetch kernel skips
         # their DMA entirely (the per-query row DMA count is what bounds
-        # the fetch) and forces d2 = +inf
-        cbc = jnp.where(cmask_flat, cbc, corner_planar.shape[0] - 1)
-        sbc = jnp.where(smask_flat, sbc, surf_planar.shape[0] - 1)
-        _, cnn = fused_block_fetch(corner_planar, cbc,
-                                   cw.reshape(B * Pc, 3),
-                                   W=corner_planar.shape[1] // 3 * 128, K=K)
-        _, snn = fused_block_fetch(surf_planar, sbc, sw.reshape(B * Ps, 3),
-                                   W=surf_planar.shape[1] // 3 * 128, K=K)
+        # the fetch) and forces d2 = +inf.  Same trick for whole lanes whose
+        # solve already converged (skip_lane): their GN round is a no-op
+        # (pallas_gn's per-iteration guard), so their candidates are never
+        # read — route every query at the sentinel and the fetch skips the
+        # lane's DMA waves AND compute outright.
+        cmask_q = cmask_flat
+        smask_q = smask_flat
+        if skip_lane is not None:
+            cmask_q = cmask_q & ~jnp.repeat(skip_lane, Pc)
+            smask_q = smask_q & ~jnp.repeat(skip_lane, Ps)
+        cbc = jnp.where(cmask_q, cbc, sentinel_of(corner_planar))
+        sbc = jnp.where(smask_q, sbc, sentinel_of(surf_planar))
+        _, cnn = run_fetch(corner_planar, cbc, cw.reshape(B * Pc, 3))
+        _, snn = run_fetch(surf_planar, sbc, sw.reshape(B * Ps, 3))
         return cand_planes(cnn, Pc), cand_planes(snn, Ps)
 
     for r in range(num_rounds):
-        if r == 0 or not shared_fetch:
+        if r == 0:
             candc, cands = fetch(stat[:, 0:6])
-        stat = stat.at[:, 7].set(0.0)   # re-verify convergence each round
+            stat = stat.at[:, 7].set(0.0)
+        elif not shared_fetch:
+            if skip_converged_refetch:
+                # Lanes that converged last round keep converged=1, so the
+                # GN kernel skips all their iterations — refetch (and
+                # re-verify) only the lanes still moving.  The GN kernel
+                # re-ranks its K-candidate pool at the current pose every
+                # iteration, so the risk is pool coverage only (same class
+                # as shared_fetch, but restricted to lanes that already
+                # reached the convergence grain).
+                candc, cands = fetch(stat[:, 0:6],
+                                     skip_lane=stat[:, 7] > 0)
+            else:
+                candc, cands = fetch(stat[:, 0:6])
+                stat = stat.at[:, 7].set(0.0)   # re-verify every lane
         stat, matP = gn_round_pallas(
             stat, matP, featc, featsp, candc, cands, K=K,
             iters=iters_per_round, min_corr=min_correspondences)

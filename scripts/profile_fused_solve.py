@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--trace", default=None)
     ap.add_argument("--shared-fetch", action="store_true")
+    ap.add_argument("--skip-conv", action="store_true",
+                    help="skip round-2 refetch + re-verify for lanes that "
+                         "converged in round 1")
     ap.add_argument("--num-candidates", type=int, default=8)
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--iters", type=int, default=15)
@@ -102,7 +105,8 @@ def main():
             corner_cell_cap=CCAP, surf_cell_cap=SCAP,
             num_rounds=args.rounds, iters_per_round=args.iters,
             num_candidates=args.num_candidates,
-            shared_fetch=args.shared_fetch)
+            shared_fetch=args.shared_fetch,
+            skip_converged_refetch=args.skip_conv)
 
     def block(r):
         jax.tree.map(lambda a: a.block_until_ready(), r)
@@ -120,7 +124,8 @@ def main():
         return (time.perf_counter() - t0) / args.reps
 
     t = timed()
-    print(f"B={B} shared_fetch={args.shared_fetch} K={args.num_candidates}: "
+    print(f"B={B} shared_fetch={args.shared_fetch} "
+          f"skip_conv={args.skip_conv} K={args.num_candidates}: "
           f"{t / B * 1000:.3f} ms/scan  {B / t:.1f} scans/s")
 
     if args.trace:

@@ -10,9 +10,11 @@ import jax
 import jax.numpy as jnp
 
 from feature_base_pointcloud_registration_tpu.ops import hashgrid as hg
+import pytest
+
 from feature_base_pointcloud_registration_tpu.ops.pallas_fetch import (
-    block_cell_of, build_block_table_planar, fused_block_fetch,
-    make_pallas_block_knn)
+    block_cell_of, build_block_table_planar, compact_row_space,
+    fused_block_fetch, make_pallas_block_knn)
 
 CELL = 2.0
 DIMS = (8, 8, 4)
@@ -27,11 +29,14 @@ def _world(seed=0, m=4096):
     return pts, np.ones(m, bool)
 
 
-def test_fused_fetch_matches_bruteforce():
+@pytest.mark.parametrize("resident", [False, True])
+def test_fused_fetch_matches_bruteforce(resident):
     pts, mask = _world()
     st = hg.build_grid_sentinel(jnp.asarray(pts), jnp.asarray(mask), ORIGIN,
                                 CELL, dims=DIMS, cell_cap=CAP)
     tab = build_block_table_planar(st, dims=DIMS)
+    if resident:
+        tab = compact_row_space(tab)
 
     rng = np.random.RandomState(1)
     q = rng.uniform(-6, 6, (512, 3)).astype(np.float32)
@@ -71,11 +76,14 @@ def test_fused_fetch_matches_bruteforce():
                                    atol=1e-5)
 
 
-def test_fused_fetch_out_of_grid_and_padding():
+@pytest.mark.parametrize("resident", [False, True])
+def test_fused_fetch_out_of_grid_and_padding(resident):
     pts, mask = _world()
     st = hg.build_grid_sentinel(jnp.asarray(pts), jnp.asarray(mask), ORIGIN,
                                 CELL, dims=DIMS, cell_cap=CAP)
     tab = build_block_table_planar(st, dims=DIMS)
+    if resident:
+        tab = compact_row_space(tab)
     q = np.full((512, 3), 500.0, np.float32)           # far out of grid
     knn = make_pallas_block_knn(tab, ORIGIN, CELL, dims=DIMS, cell_cap=CAP,
                                 k=8)
