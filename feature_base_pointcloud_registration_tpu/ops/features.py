@@ -83,6 +83,33 @@ def _occlusion_mask(point_range, point_col, num_points):
     return picked | parallel
 
 
+def _row_window_gather(operand, starts, length: int):
+    """Contiguous windows [starts[s] : starts[s]+length] from a (possibly
+    multi-channel) array as ONE native gather.
+
+    operand [Wp] or [Wp, C]; starts [S] int32 (caller clips so the windows
+    stay in bounds).  Returns [S, length] / [S, length, C].
+
+    A vmapped lax.dynamic_slice with data-dependent starts lowers to a
+    sequential while loop on TPU (measured: the 12,288-iteration slice loop
+    was ~31 ms/batch of the frontend, the 2,048-iteration ring-window loop
+    ~10 ms); a gather whose slices are whole contiguous rows stays one
+    vectorized HLO.
+    """
+    squeeze = operand.ndim == 1
+    if squeeze:
+        operand = operand[:, None]
+    C = operand.shape[1]
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2),
+        collapsed_slice_dims=(),
+        start_index_map=(0,),
+    )
+    out = lax.gather(operand, starts[:, None].astype(jnp.int32), dnums,
+                     slice_sizes=(length, C), mode="clip")
+    return out[..., 0] if squeeze else out
+
+
 def _sector_bounds(start_idx, end_idx, j):
     """C-truncation sector split (ref: src/featureExtraction.h:195-197)."""
     sp = lax.div(start_idx * (6 - j) + end_idx * j, jnp.int32(6))
@@ -92,20 +119,37 @@ def _sector_bounds(start_idx, end_idx, j):
 
 def _ring_pick(ring_window, sector_cap, edge_threshold, surf_threshold,
                strict: bool = True, corner_stream_cap: int = 128):
-    """Greedy feature picking for one ring.
+    """Greedy feature picking for one ring, as iterated local-extrema
+    rounds (parallel greedy MIS) instead of a serialized candidate stream.
 
     ring_window: dict of per-ring local arrays (size W) + scalars.
     Returns (label [W] int8, surf_sector_mask [W] bool).
 
-    strict=True reproduces the reference's full corner+surf candidate stream
-    (12*sector_cap sequential steps).  strict=False is the fast mode: only
-    the top `corner_stream_cap` (128) curvature candidates per sector go through
-    the serial corner pass (the reference picks <= 20 and only examines the
-    descending tail anyway), and the surf pass is dropped entirely — its
-    label is irrelevant to the surface output (everything label <= 0 is
-    gathered, picked or not, ref :279-284); the only thing lost is the surf
-    picks' +-5 suppression marks, which can suppress a later-sector corner
-    candidate in rare boundary cases.  ~10x fewer sequential steps.
+    The reference's greedy pass (descending curvature for corners,
+    ref :208-242; ascending for surfaces, ref :245-276; +-5 path-clear
+    suppression) is a greedy maximal-independent-set on the +-5 conflict
+    graph.  For totally ordered keys that greedy equals iterating "pick
+    every alive candidate that beats all alive conflicting neighbors, then
+    suppress their neighbors" until no candidate is alive — every step
+    elementwise in ring space.  This replaced both the 12*CAP-step
+    serialized stream (strict) and the per-sector table machinery (fast):
+    batched dynamic slices, row-slice gathers, AND long sequential scans
+    all lower to costly loops on TPU (docs/ROUND_NOTES.md round 3).
+
+    strict=True is bit-parity mode: sectors processed as 6 sequential
+    stages (corner MIS desc -> exact first-20 cap -> surf MIS asc), with
+    suppression marks carried across phases and sectors exactly like the
+    reference's serialized stream.  strict=False (fast) runs one
+    corner-only MIS over all sectors at once with conflicts restricted to
+    the same sector — the only couplings lost are cross-sector suppression
+    spill (<= 5 points per seam) and the surf pass's marks (its labels are
+    irrelevant to the surface output, ref :279-284).
+
+    The examine-position-ep-first quirk (std::sort's range excludes ep,
+    ref :203 vs :208) becomes a +inf key: highest priority in the
+    descending corner pass, processed last in the ascending surf pass;
+    qualification still uses ep's true curvature.  `sector_cap` and
+    `corner_stream_cap` are kept for API stability; the MIS needs neither.
     """
     curv = ring_window["curv"]
     col = ring_window["col"]
@@ -114,36 +158,6 @@ def _ring_pick(ring_window, sector_cap, edge_threshold, surf_threshold,
     ep_loc = ring_window["ep"]    # [6]
     sector_ok = ring_window["sector_ok"]  # [6]
     W = curv.shape[0]
-    CAP = sector_cap
-
-    # ---- precompute sorted candidate tables per sector [6, CAP] ----
-    # The sector window curv[sp:sp+CAP] is CONTIGUOUS — a dynamic_slice,
-    # not a gather; the sort carries (cval, slot) as payloads so no
-    # post-sort gathers are needed either.  tab_pos is affine in the
-    # permuted slot: pos = clip(sp + slot_sorted).
-    curv_pad = jnp.concatenate([curv, jnp.zeros((CAP,), curv.dtype)])
-
-    js = jnp.arange(6, dtype=jnp.int32)
-    if strict:
-        def sector_table(sp, ep, ok):
-            length = jnp.where(ok, ep - sp + 1, 0)
-            slots = jnp.arange(CAP, dtype=jnp.int32)
-            sp_c = jnp.clip(sp, 0, W - 1)
-            cwin = lax.dynamic_slice(curv_pad, (sp_c,), (CAP,))
-            in_seg = slots < length
-            cval = jnp.where(in_seg, cwin, _INF)
-            # sort region excludes the last element (position ep): it keeps
-            # its slot; padding (+inf keys) stays behind it in original
-            # order.
-            sort_key = jnp.where(slots < length - 1, cval, _INF)
-            _, cval_o, slot_o = lax.sort((sort_key, cval, slots), num_keys=1,
-                                         is_stable=True)
-            pos_o = jnp.clip(sp_c + slot_o, 0, W - 1)
-            return pos_o, cval_o, slot_o < length
-
-        tab_pos, tab_val, tab_valid = jax.vmap(
-            lambda j: sector_table(sp_loc[j], ep_loc[j], sector_ok[j])
-        )(js)  # [6, CAP]
 
     # Column-gap prefix counts for the suppression path check: a pick at
     # pos_k suppresses candidate i iff |pos_i - pos_k| <= 5 and no column
@@ -153,138 +167,108 @@ def _ring_pick(ring_window, sector_cap, edge_threshold, surf_threshold,
     # <=> bc_i == bc_k.  (Both directions check the same gap set.)
     gap_break = jnp.abs(col - jnp.roll(col, 1)) > 10
     bcum = jnp.cumsum(gap_break.astype(jnp.int32))
-    rev = jnp.flip(jnp.arange(CAP, dtype=jnp.int32))
-    fwd = jnp.arange(CAP, dtype=jnp.int32)
-    # pack (gap-prefix, occlusion) so the candidate-position lookup is ONE
-    # two-wide gather instead of two one-wide gathers
-    bc_pick = jnp.stack([bcum.astype(jnp.float32),
-                         picked0.astype(jnp.float32)], -1)  # [W, 2]
+    w_idx = jnp.arange(W, dtype=jnp.int32)
+
+    sec = jnp.full((W,), -1, jnp.int32)
+    is_ep = jnp.zeros((W,), bool)
+    for j in range(6):
+        span = sector_ok[j] & (w_idx >= sp_loc[j]) & (w_idx <= ep_loc[j])
+        sec = jnp.where(span, j, sec)
+        is_ep = is_ep | (sector_ok[j] & (w_idx == ep_loc[j]))
+
+    shifts = [s for s in range(-5, 6) if s != 0]
+    # path-clear +-5 adjacency per shift (wrap-guarded), precomputed once
+    conf = {s: ((jnp.roll(bcum, s) == bcum)
+                & (jnp.abs(jnp.roll(w_idx, s) - w_idx) <= 5))
+            for s in shifts}
+
+    def dilate(p):
+        """Positions suppressed by picks p (incl. the picks themselves)."""
+        out = p
+        for s in shifts:
+            out = out | (jnp.roll(p, s) & conf[s])
+        return out
+
+    key_all = jnp.where(is_ep, _INF, curv)
+
+    def mis(cand, asc, same_sector):
+        """Exact greedy pick set via local-extrema rounds.
+
+        asc=False: descending (key, pos) order (corner pass; larger pos
+        wins ties — the reversed stable sort of the reference).  asc=True:
+        ascending (surf pass; smaller pos wins ties)."""
+        def cond(st):
+            return jnp.any(st[0])
+
+        def body(st):
+            alive, pick = st
+            ext = alive
+            for s in shifts:
+                a_s = jnp.roll(alive, s)
+                k_s = jnp.roll(key_all, s)
+                i_s = jnp.roll(w_idx, s)
+                c = a_s & conf[s]
+                if same_sector:
+                    c = c & (jnp.roll(sec, s) == sec)
+                if asc:
+                    beats = (k_s < key_all) | ((k_s == key_all)
+                                               & (i_s < w_idx))
+                else:
+                    beats = (k_s > key_all) | ((k_s == key_all)
+                                               & (i_s > w_idx))
+                ext = ext & ~(c & beats)
+            pick = pick | ext
+            supp = ext
+            for s in shifts:
+                c = conf[s]
+                if same_sector:
+                    c = c & (jnp.roll(sec, s) == sec)
+                supp = supp | (jnp.roll(ext, s) & c)
+            return alive & ~supp, pick
+
+        return lax.while_loop(cond, body,
+                              (cand, jnp.zeros((W,), bool)))[1]
+
+    def top20(pick):
+        """Exact first-20 picks in descending (key, pos) order — the
+        per-sector cap (ref :221: the 21st qualifying candidate stops the
+        phase, so capped picks = the first 20 of the uncapped greedy)."""
+        def take(i, st):
+            rem, kept = st
+            mk = jnp.max(jnp.where(rem, key_all, -_INF))
+            c1 = rem & (key_all == mk)
+            ms = jnp.max(jnp.where(c1, w_idx, -1))
+            sel = c1 & (w_idx == ms) & (mk > -_INF)
+            return rem & ~sel, kept | sel
+
+        return lax.fori_loop(0, 20, take,
+                             (pick, jnp.zeros((W,), bool)))[1]
 
     if strict:
-        # ---- serialized candidate stream over the whole ring ----
-        # per sector: corner phase = slots CAP-1..0 (descending curvature,
-        # ref :208), then surf phase = slots 0..CAP-1 (ref :245).  The
-        # greedy loop is sequential, but the carry lives in CANDIDATE space
-        # ([S] vectors) and every step is elementwise; labels scatter back
-        # to the window ONCE after the loop.
-        stream_pos = jnp.concatenate(
-            [jnp.concatenate([tab_pos[j][rev], tab_pos[j][fwd]])
-             for j in range(6)])
-        stream_val = jnp.concatenate(
-            [jnp.concatenate([tab_val[j][rev], tab_val[j][fwd]])
-             for j in range(6)])
-        stream_valid = jnp.concatenate(
-            [jnp.concatenate([tab_valid[j][rev], tab_valid[j][fwd]])
-             for j in range(6)])
-        n_steps = 12 * CAP
-        step_idx = jnp.arange(n_steps, dtype=jnp.int32)
-        is_corner = (step_idx // CAP) % 2 == 0
-        sector_start = step_idx % (2 * CAP) == 0
+        # 6 sequential sector stages, marks carried across phases/sectors
+        def stage(carry, j):
+            marks, label = carry
+            in_sec = sec == j
+            cand_c = in_sec & ~marks & (curv > edge_threshold)
+            pick_c = top20(mis(cand_c, asc=False, same_sector=False))
+            marks = marks | dilate(pick_c)
+            cand_s = in_sec & ~marks & (curv < surf_threshold)
+            pick_s = mis(cand_s, asc=True, same_sector=False)
+            marks = marks | dilate(pick_s)
+            label = jnp.where(pick_c, jnp.int8(1),
+                              jnp.where(pick_s, jnp.int8(-1), label))
+            return (marks, label), None
 
-        S = stream_pos.shape[0]
-        bp = bc_pick[stream_pos]                        # [S, 2] gather, once
-        bc = bp[:, 0].astype(jnp.int32)
-        alive0 = ~(bp[:, 1] > 0)
-        stream_idx = jnp.arange(S, dtype=jnp.int32)
-
-        def body(carry, xs):
-            suppressed, label_c, ccount = carry
-            pos_k, val_k, valid_k, corner_k, reset_k, bc_k, k = xs
-            ccount = jnp.where(reset_k, 0, ccount)
-
-            sel = stream_idx == k
-            picked_now = jnp.any(suppressed & sel)
-            qualify_c = (valid_k & corner_k & ~picked_now
-                         & (val_k > edge_threshold))
-            do_c = qualify_c & (ccount < 20)  # 21st breaks (ref :221)
-            ccount = ccount + qualify_c.astype(jnp.int32)
-            qualify_s = (valid_k & ~corner_k & ~picked_now
-                         & (val_k < surf_threshold))
-            do = do_c | qualify_s
-
-            supp_row = (jnp.abs(stream_pos - pos_k) <= 5) & (bc == bc_k)
-            suppressed = suppressed | (supp_row & do)
-            new_label = jnp.where(do_c, jnp.int8(1), jnp.int8(-1))
-            label_c = jnp.where(sel & do, new_label, label_c)
-            return (suppressed, label_c, ccount), None
-
-        (_, label_c, _), _ = lax.scan(
-            body,
-            (~alive0, jnp.zeros((S,), jnp.int8), jnp.int32(0)),
-            (stream_pos, stream_val, stream_valid, is_corner, sector_start,
-             bc, stream_idx),
-        )
-        label = jnp.zeros((W,), jnp.int8).at[stream_pos].add(label_c)
+        (_, label), _ = lax.scan(
+            stage, (picked0, jnp.zeros((W,), jnp.int8)),
+            jnp.arange(6, dtype=jnp.int32))
     else:
-        # ---- fast mode: sectors as PARALLEL scan lanes ----
-        # Only the top `corner_stream_cap` curvature candidates per sector
-        # run the serial corner pass (the reference picks <= 20 and only
-        # examines the descending tail anyway) and the surf pass is dropped
-        # (its label is irrelevant to the surface output: everything
-        # label <= 0 is gathered, ref :279-284).  Sectors are independent
-        # lanes: the per-sector pick cap (<= 20, ref :221) and the
-        # descending order are per-sector anyway, so the only coupling lost
-        # is +-5 suppression spill across a sector boundary (<= 5 points,
-        # same class as the documented ring-lane spill above).  The payoff:
-        # CC steps over [CC] carries instead of 6*CC steps over [6*CC]
-        # carries — ~36x less sequential-loop traffic.
-        #
-        # Candidate selection is lax.top_k, NOT a full sector sort — TPU's
-        # partial-sort TopK is ~2x the full variadic sort's throughput
-        # (measured: 0.28 vs 0.60 ms/scan at B=128).  The reference's
-        # descending pass examines the UNSORTED element at position ep
-        # first (std::sort's range [sp, ep) excludes it, ref :203 vs :208);
-        # its key is forced to +inf so TopK ranks it first, and its true
-        # curvature is restored afterwards.
-        CC = min(corner_stream_cap, CAP)
-
-        def sector_topk(sp, ep, ok):
-            length = jnp.where(ok, ep - sp + 1, 0)
-            slots = jnp.arange(CAP, dtype=jnp.int32)
-            sp_c = jnp.clip(sp, 0, W - 1)
-            cwin = lax.dynamic_slice(curv_pad, (sp_c,), (CAP,))
-            in_seg = slots < length
-            key = jnp.where(slots == length - 1, _INF,
-                            jnp.where(in_seg, cwin, -_INF))
-            kval, kslot = lax.top_k(key, CC)
-            ep_curv = lax.dynamic_slice(
-                curv_pad, (jnp.clip(sp_c + length - 1, 0, W - 1),), (1,))[0]
-            val = jnp.where(jnp.isposinf(kval), ep_curv, kval)
-            pos = jnp.clip(sp_c + kslot, 0, W - 1)
-            return pos, val, kval > -_INF
-
-        sec_pos, sec_val, sec_valid = jax.vmap(
-            lambda j: sector_topk(sp_loc[j], ep_loc[j], sector_ok[j])
-        )(js)  # [6, CC]
-        bp6 = bc_pick[sec_pos]           # [6, CC, 2] gather, once
-        bc6 = bp6[..., 0].astype(jnp.int32)
-        alive6 = ~(bp6[..., 1] > 0)
-
-        def sector_scan(pos_s, val_s, valid_s, bc_s, alive_s):
-            idx = jnp.arange(CC, dtype=jnp.int32)
-
-            def body(carry, xs):
-                suppressed, label_s, ccount = carry
-                pos_k, val_k, valid_k, bc_k, k = xs
-                sel = idx == k
-                picked_now = jnp.any(suppressed & sel)
-                qualify_c = valid_k & ~picked_now & (val_k > edge_threshold)
-                do_c = qualify_c & (ccount < 20)
-                ccount = ccount + qualify_c.astype(jnp.int32)
-                supp_row = (jnp.abs(pos_s - pos_k) <= 5) & (bc_s == bc_k)
-                suppressed = suppressed | (supp_row & do_c)
-                label_s = jnp.where(sel & do_c, jnp.int8(1), label_s)
-                return (suppressed, label_s, ccount), None
-
-            (_, label_s, _), _ = lax.scan(
-                body, (~alive_s, jnp.zeros((CC,), jnp.int8), jnp.int32(0)),
-                (pos_s, val_s, valid_s, bc_s, idx))
-            return label_s
-
-        label6 = jax.vmap(sector_scan)(sec_pos, sec_val, sec_valid,
-                                       bc6, alive6)
-        label = jnp.zeros((W,), jnp.int8).at[sec_pos.reshape(-1)].add(
-            label6.reshape(-1))
+        cand = (sec >= 0) & ~picked0 & (curv > edge_threshold)
+        pick = mis(cand, asc=False, same_sector=True)
+        kept = jnp.zeros((W,), bool)
+        for j in range(6):
+            kept = kept | top20(pick & (sec == j))
+        label = jnp.where(kept, jnp.int8(1), jnp.int8(0))
 
     # surface gathering covers every non-skipped sector span (ref :279-284)
     w_idx = jnp.arange(W, dtype=jnp.int32)
@@ -328,11 +312,15 @@ def _extract_features_impl(cloud: CloudInfo, edge_threshold, surf_threshold,
         [jnp.zeros((W, 8), jnp.float32), packed,
          jnp.zeros((W, 8), jnp.float32)])
 
-    def gather_window(r):
+    # all ring windows in one row-slice gather (a vmapped dynamic_slice
+    # lowers to a 2k-iteration while loop at B=128, see _row_window_gather)
+    ws_all = ring_first - MARGIN                         # [n_scan]
+    wins_all = _row_window_gather(packed_pad, ws_all + W, W)  # [n_scan, W, 8]
+
+    def gather_window(r, win):
         ws = ring_first[r] - MARGIN
         idx = ws + jnp.arange(W, dtype=jnp.int32)
         ok = (idx >= 0) & (idx < P)
-        win = lax.dynamic_slice(packed_pad, (ws + W, 0), (W, 8))
         sp = jnp.zeros((6,), jnp.int32)
         ep = jnp.zeros((6,), jnp.int32)
         for j in range(6):
@@ -352,7 +340,7 @@ def _extract_features_impl(cloud: CloudInfo, edge_threshold, surf_threshold,
             sector_ok=sector_ok,
         )
 
-    windows = jax.vmap(gather_window)(jnp.arange(n_scan))
+    windows = jax.vmap(gather_window)(jnp.arange(n_scan), wins_all)
 
     label, surf_span = jax.vmap(
         lambda w: _ring_pick(w, sector_cap, edge_threshold, surf_threshold,

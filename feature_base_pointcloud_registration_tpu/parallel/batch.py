@@ -490,3 +490,54 @@ def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
         is_degenerate=stat[:, 8] > 0,
         valid=stat[:, 9] > 0,
     )
+
+
+def shard_register_tables(mesh: Mesh, features: ScanFeatures, corner_tab,
+                          surf_tab, origin, init_poses, *, grid_dims,
+                          axis_name: str = "data", solver: str = "fused",
+                          **solve_kw):
+    """Data-parallel shard_map of the grid-table batched solvers.
+
+    The scan batch shards over `axis_name`; the map tables are replicated
+    (they ride ICI once at launch, then every device streams its own HBM
+    copy) — the v5p-8 scaling shape for the BASELINE north star: per-chip
+    throughput times the data axis, no inter-chip traffic in steady state
+    beyond the psum'd convergence counters.
+
+    solver="fused" = Pallas fused-kernel path (TPU meshes);
+    solver="blocks" = XLA block path (any backend, incl. the virtual-CPU
+    meshes used in CI).  B must divide by the axis size; with "fused" the
+    per-shard batch must keep B_shard * feature caps multiples of the
+    kernel's 512-query tile.
+
+    Returns (RegisterResult [B, ...], stats) like shard_register.
+    """
+    solve = {"fused": batch_register_fused,
+             "blocks": batch_register_blocks}[solver]
+
+    def local_fn(f, ct, st, org, p):
+        res = solve(f, ct, st, org, p, grid_dims=grid_dims, **solve_kw)
+        n_conv = jax.lax.psum(jnp.sum(res.converged.astype(jnp.int32)),
+                              axis_name)
+        n_total = jax.lax.psum(res.converged.shape[0], axis_name)
+        mean_iters = jax.lax.pmean(
+            jnp.mean(res.iterations.astype(jnp.float32)), axis_name)
+        return res, {"n_converged": n_conv, "n_total": n_total,
+                     "mean_iterations": mean_iters}
+
+    spec_feats = ScanFeatures(P(axis_name), P(axis_name),
+                              P(axis_name), P(axis_name))
+    rep = lambda tree: jax.tree.map(lambda _: P(), tree,
+                                    is_leaf=lambda x: x is None)
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(spec_feats, rep(corner_tab), rep(surf_tab), P(),
+                  P(axis_name)),
+        out_specs=(
+            RegisterResult(P(axis_name), P(axis_name), P(axis_name),
+                           P(axis_name), P(axis_name), P(axis_name)),
+            {"n_converged": P(), "n_total": P(), "mean_iterations": P()},
+        ),
+    )
+    return jax.jit(fn)(features, corner_tab, surf_tab, jnp.asarray(origin),
+                       init_poses)

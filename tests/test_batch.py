@@ -75,3 +75,36 @@ def test_shard_matches_vmap():
     # threshold (0.05 cm) — solutions agree to ~1 mm
     np.testing.assert_allclose(np.array(res_v.pose6), np.array(res_s.pose6),
                                atol=2e-3)
+
+
+def test_shard_register_tables_blocks_8_devices():
+    """Data-parallel shard_map of the grid-table solver (blocks path on the
+    virtual CPU mesh; the fused path swaps in on TPU meshes) matches the
+    unsharded solve exactly — tables replicated, batch sharded."""
+    from feature_base_pointcloud_registration_tpu.parallel.batch import (
+        batch_register_blocks, build_map_block_tables, shard_register_tables)
+
+    assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
+    mesh = make_mesh(jax.devices()[:8])
+    feats, fmap, gt, guesses = _make_batch(8)
+    world = SyntheticWorld()
+    center = np.array([0.0, 0.0, (world.ground_z + world.ceil_z) / 2],
+                      np.float32)
+    half = np.array([world.half_x + 1, world.half_y + 1,
+                     (world.ceil_z - world.ground_z) / 2 + 1], np.float32)
+    ctab, stab, origin, dims = build_map_block_tables(
+        fmap, center, half, corner_cell_cap=32, surf_cell_cap=48)
+
+    res, stats = shard_register_tables(
+        mesh, feats, ctab, stab, origin, guesses, grid_dims=dims,
+        solver="blocks", corner_cell_cap=32, surf_cell_cap=48)
+    ref = batch_register_blocks(feats, ctab, stab, origin, guesses,
+                                grid_dims=dims, corner_cell_cap=32,
+                                surf_cell_cap=48)
+
+    np.testing.assert_allclose(np.array(res.pose6), np.array(ref.pose6),
+                               atol=1e-5)
+    assert int(stats["n_total"]) == 8
+    assert int(stats["n_converged"]) == int(np.array(ref.converged).sum())
+    err_t = np.linalg.norm(np.array(res.pose6)[:, 3:] - gt[:, 3:], axis=1)
+    assert (err_t < 0.05).all(), err_t

@@ -85,3 +85,133 @@ def test_fast_picking_matches_strict():
     SA = as_set(fe.surf_xyz, fe.surf_mask)
     SB = as_set(ff.surf_xyz, ff.surf_mask)
     assert len(SA & SB) >= 0.99 * max(len(SA), len(SB))
+
+
+def test_fast_pick_equals_sector_greedy():
+    """The fast mode's iterated local-maxima rounds are EXACTLY the
+    sector-restricted greedy (descending curvature, ep examined first, +-5
+    path-clear suppression, 20/sector cap) whenever a sector's pick count
+    stays under the cap — verified against a direct Python transcription of
+    the reference semantics (src/featureExtraction.h:208-242 restricted to
+    in-sector suppression, the documented fast-mode deviation)."""
+    import jax.numpy as jnp
+    from feature_base_pointcloud_registration_tpu.ops.features import (
+        _ring_pick)
+
+    rng = np.random.RandomState(11)
+    W = 512
+    for trial in range(6):
+        curv = (rng.uniform(0, 1, W) ** 3 * 20).astype(np.float32)
+        col = np.sort(rng.randint(0, 1800, W)).astype(np.int32)
+        picked0 = rng.uniform(0, 1, W) < 0.15
+        start, end = 6, W - 9 - trial * 37
+        sp = np.array([(start * (6 - j) + end * j) // 6 for j in range(6)],
+                      np.int32)
+        ep = np.array([(start * (5 - j) + end * (j + 1)) // 6 - 1
+                       for j in range(6)], np.int32)
+        ok = sp < ep
+
+        window = dict(
+            curv=jnp.asarray(curv), col=jnp.asarray(col),
+            picked=jnp.asarray(picked0), sp=jnp.asarray(sp),
+            ep=jnp.asarray(ep), sector_ok=jnp.asarray(ok))
+        label, _ = _ring_pick(window, 304, edge_threshold=1.0,
+                              surf_threshold=0.1, strict=False)
+        got = set(np.where(np.array(label) == 1)[0])
+
+        # Python reference: per-sector greedy
+        gap = np.abs(col - np.roll(col, 1)) > 10
+        bc = np.cumsum(gap)
+        want = set()
+        for j in range(6):
+            if not ok[j]:
+                continue
+            idxs = list(range(sp[j], ep[j] + 1))
+            order = [idxs[-1]] + sorted(
+                idxs[:-1], key=lambda i: (-curv[i], -i))
+            supp = set()
+            cnt = 0
+            for i in order:
+                if picked0[i] or curv[i] <= 1.0 or i in supp:
+                    continue
+                if cnt < 20:
+                    want.add(i)
+                    supp |= {p for p in range(max(i - 5, sp[j]),
+                                              min(i + 5, ep[j]) + 1)
+                             if bc[p] == bc[i]}
+                cnt += 1
+            assert cnt <= 20 + 5, "test data too dense to compare exactly"
+        assert got == want, (trial, sorted(got ^ want))
+
+
+def test_strict_pick_equals_reference_stream():
+    """The staged-MIS strict mode reproduces the reference's full
+    serialized stream BIT-EXACTLY on random ring data: per sector, corner
+    phase descending with the 20-cap counting qualifying candidates
+    (src/featureExtraction.h:208-242), then surf phase ascending
+    (:245-276), +-5 path-clear suppression shared across phases and
+    sectors, ep examined first (corner) / last (surf)."""
+    import jax.numpy as jnp
+    from feature_base_pointcloud_registration_tpu.ops.features import (
+        _ring_pick)
+
+    rng = np.random.RandomState(23)
+    W = 512
+    for trial in range(8):
+        # heavy-tailed curvature with dense low-curv runs (surf chains) and
+        # exact ties (flat regions, curv == 0)
+        curv = (rng.uniform(0, 1, W) ** 4 * 30).astype(np.float32)
+        curv[rng.uniform(0, 1, W) < 0.3] = 0.0
+        col = np.sort(rng.randint(0, 1800, W)).astype(np.int32)
+        picked0 = rng.uniform(0, 1, W) < 0.1
+        start, end = 5 + trial, W - 8 - trial * 29
+        sp = np.array([(start * (6 - j) + end * j) // 6 for j in range(6)],
+                      np.int32)
+        ep = np.array([(start * (5 - j) + end * (j + 1)) // 6 - 1
+                       for j in range(6)], np.int32)
+        ok = sp < ep
+        EDGE, SURF = 1.0, 0.1
+
+        window = dict(
+            curv=jnp.asarray(curv), col=jnp.asarray(col),
+            picked=jnp.asarray(picked0), sp=jnp.asarray(sp),
+            ep=jnp.asarray(ep), sector_ok=jnp.asarray(ok))
+        label, _ = _ring_pick(window, 304, edge_threshold=EDGE,
+                              surf_threshold=SURF, strict=True)
+        label = np.array(label)
+
+        # reference stream transcription (ring-global suppression marks)
+        gap = np.abs(col - np.roll(col, 1)) > 10
+        bc = np.cumsum(gap)
+        marks = picked0.copy()
+        want = np.zeros(W, np.int8)
+
+        def suppress(k):
+            for p in range(max(k - 5, 0), min(k + 5, W - 1) + 1):
+                if bc[p] == bc[k]:
+                    marks[p] = True
+
+        for j in range(6):
+            if not ok[j]:
+                continue
+            idxs = list(range(sp[j], ep[j] + 1))
+            # corner: ep first, then descending (curv, slot)
+            order_c = [idxs[-1]] + sorted(idxs[:-1],
+                                          key=lambda i: (-curv[i], -i))
+            cnt = 0
+            for i in order_c:
+                if marks[i] or curv[i] <= EDGE:
+                    continue
+                cnt += 1
+                if cnt <= 20:
+                    want[i] = 1
+                    suppress(i)
+            # surf: ascending (curv, slot), ep last
+            order_s = sorted(idxs[:-1], key=lambda i: (curv[i], i)) \
+                + [idxs[-1]]
+            for i in order_s:
+                if marks[i] or curv[i] >= SURF:
+                    continue
+                want[i] = -1
+                suppress(i)
+        np.testing.assert_array_equal(label, want, err_msg=str(trial))
