@@ -44,6 +44,28 @@ def scan_files(velodyne_dir: str):
     return sorted(glob.glob(os.path.join(velodyne_dir, "*.bin")))
 
 
+def iter_scans(velodyne_dir: str, max_points: int = 1 << 17,
+               queue_depth: int = 4, n_threads: int = 2):
+    '''Iterate RawScans with native threaded prefetch: worker threads
+    decode upcoming .bin files while the consumer scan is on device
+    (native.ScanLoader; synchronous fallback without the shared lib).'''
+    import jax.numpy as jnp
+
+    paths = scan_files(velodyne_dir)
+    with native.ScanLoader(paths, cap=max_points, queue_depth=queue_depth,
+                           n_threads=n_threads, n_rings=HDL64_RINGS,
+                           elev_min=HDL64_ELEV_MIN,
+                           elev_max=HDL64_ELEV_MAX) as it:
+        for d in it:
+            n = min(len(d["xyz"]), max_points)
+            raw = RawScan.from_numpy(d["xyz"][:n], d["intensity"][:n],
+                                     d["ring"][:n], d["time"][:n],
+                                     max_points=max_points)
+            valid = np.zeros(max_points, bool)
+            valid[:n] = d["valid"][:n] & (d["ring"][:n] >= 0)
+            yield raw._replace(valid=jnp.asarray(valid))
+
+
 def load_times(directory: str, n: int):
     """Sensor timestamps (seconds from the first stamp) for a KITTI raw
     stream directory holding a timestamps.txt; 10 Hz index clock fallback."""

@@ -48,6 +48,14 @@ def _load():
                                     ctypes.POINTER(i32), ctypes.POINTER(i32)]
     lib.pcd_read_xyzi.restype = i64
     lib.pcd_read_xyzi.argtypes = [ctypes.c_char_p, pf, pf, i64]
+    lib.scan_loader_create.restype = ctypes.c_void_p
+    lib.scan_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), i64, i64, i32, i32, i32, f32, f32,
+        f32]
+    lib.scan_loader_next.restype = i64
+    lib.scan_loader_next.argtypes = [ctypes.c_void_p, pf, pf, pr, pf]
+    lib.scan_loader_destroy.restype = None
+    lib.scan_loader_destroy.argtypes = [ctypes.c_void_p]
     lib.kitti_read_bin.restype = i64
     lib.kitti_read_bin.argtypes = [ctypes.c_char_p, pf, pf, pr, pf, i64,
                                    i32, f32, f32, f32]
@@ -143,3 +151,73 @@ def kitti_read_bin(path: str, n_rings: int = 64, elev_min: float = -24.9,
                                   (xyz, inten, ring, time))
     return dict(xyz=xyz, intensity=inten, ring=ring, time=time,
                 valid=np.ones(len(xyz), bool))
+
+
+class ScanLoader:
+    """Threaded scan prefetcher over a KITTI .bin sequence.
+
+    Worker threads decode files ahead of the consumer into a bounded ring
+    delivered strictly in order — the native data-plane analog of the
+    reference's bag playback + subscriber queue (scans arrive while the
+    previous one is processed, ref: src/imageProjection.cpp:182-226); here
+    file IO/decode overlap the device solve.  Synchronous NumPy fallback
+    when the shared library is unavailable.
+
+        with ScanLoader(paths) as it:
+            for scan in it:   # dict(xyz, intensity, ring, time, valid)
+                ...
+    """
+
+    def __init__(self, paths, cap: int = 1 << 21, queue_depth: int = 4,
+                 n_threads: int = 2, n_rings: int = 64,
+                 elev_min: float = -24.9, elev_max: float = 2.0,
+                 scan_period: float = 0.1):
+        self.paths = [str(p) for p in paths]
+        self.cap = cap
+        self.kw = dict(n_rings=n_rings, elev_min=elev_min,
+                       elev_max=elev_max, scan_period=scan_period)
+        self._lib = _load()
+        self._handle = None
+        self._served = 0
+        if self._lib is not None and self.paths:
+            arr = (ctypes.c_char_p * len(self.paths))(
+                *[p.encode() for p in self.paths])
+            self._handle = self._lib.scan_loader_create(
+                arr, len(self.paths), cap, queue_depth, n_threads,
+                np.int32(n_rings), np.float32(elev_min),
+                np.float32(elev_max), np.float32(scan_period))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._served >= len(self.paths):
+            raise StopIteration
+        i = self._served
+        self._served += 1
+        if self._handle is None:
+            return kitti_read_bin(self.paths[i], cap=self.cap, **self.kw)
+        xyz = np.empty((self.cap, 3), np.float32)
+        inten = np.empty(self.cap, np.float32)
+        ring = np.empty(self.cap, np.int32)
+        time = np.empty(self.cap, np.float32)
+        n = self._lib.scan_loader_next(self._handle, xyz, inten, ring, time)
+        if n == -2:
+            raise StopIteration
+        if n < 0:
+            raise IOError(f"failed to read {self.paths[i]}")
+        xyz, inten, ring, time = (a[:n].copy() for a in
+                                  (xyz, inten, ring, time))
+        return dict(xyz=xyz, intensity=inten, ring=ring, time=time,
+                    valid=np.ones(n, bool))
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.scan_loader_destroy(self._handle)
+            self._handle = None

@@ -19,12 +19,16 @@
 //
 // Exposed as a C ABI consumed via ctypes (no pybind11 in this image).
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <cmath>
 #include <cstdlib>
+#include <condition_variable>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -247,6 +251,125 @@ int64_t kitti_read_bin(const char* path, float* out_xyz, float* out_i,
   }
   std::fclose(f);
   return i;
+}
+
+// --------------------------------------------------- threaded scan loader
+// Background prefetcher for scan sequences: worker threads decode KITTI
+// .bin files ahead of the consumer into a bounded ring of reusable
+// buffers, delivered strictly in sequence order.  This is the native
+// data-plane analog of the reference's ROS bag playback + subscriber
+// queue (scans arrive while the previous one is being processed;
+// ref: src/imageProjection.cpp:182-226 consumes from cloudQueue) — here
+// file IO + decode overlap the TPU solve instead of a callback thread.
+
+struct ScanSlot {
+  std::vector<float> xyz, inten, time;
+  std::vector<int32_t> ring;
+  int64_t n = -2;        // -2 = empty, -1 = read error, >= 0 = point count
+  int64_t index = -1;
+};
+
+struct ScanLoader {
+  std::vector<std::string> paths;
+  int64_t cap = 0;
+  int32_t n_rings = 64;
+  float elev_min_deg = -24.9f, elev_max_deg = 2.0f, scan_period = 0.1f;
+  std::vector<ScanSlot> slots;
+  std::atomic<int64_t> next_fetch{0};
+  int64_t next_serve = 0;
+  std::mutex mu;
+  std::condition_variable cv_filled, cv_freed;
+  std::vector<std::thread> workers;
+  bool stop = false;
+};
+
+static void scan_loader_worker(ScanLoader* L) {
+  const int64_t depth = (int64_t)L->slots.size();
+  std::vector<float> xyz(L->cap * 3), inten(L->cap), time(L->cap);
+  std::vector<int32_t> ring(L->cap);
+  while (true) {
+    const int64_t idx = L->next_fetch.fetch_add(1);
+    if (idx >= (int64_t)L->paths.size()) break;
+    const int64_t n = kitti_read_bin(
+        L->paths[idx].c_str(), xyz.data(), inten.data(), ring.data(),
+        time.data(), L->cap, L->n_rings, L->elev_min_deg, L->elev_max_deg,
+        L->scan_period);
+    ScanSlot& slot = L->slots[idx % depth];
+    std::unique_lock<std::mutex> lk(L->mu);
+    // wait until the ring slot is free AND it is this index's window
+    L->cv_freed.wait(lk, [&] {
+      return L->stop || (slot.n == -2 && idx < L->next_serve + depth);
+    });
+    if (L->stop) break;
+    const int64_t m = n < 0 ? 0 : n;
+    slot.xyz.assign(xyz.begin(), xyz.begin() + m * 3);
+    slot.inten.assign(inten.begin(), inten.begin() + m);
+    slot.ring.assign(ring.begin(), ring.begin() + m);
+    slot.time.assign(time.begin(), time.begin() + m);
+    slot.n = n;
+    slot.index = idx;
+    L->cv_filled.notify_all();
+  }
+}
+
+ScanLoader* scan_loader_create(const char** paths, int64_t n_paths,
+                               int64_t cap_points, int32_t queue_depth,
+                               int32_t n_threads, int32_t n_rings,
+                               float elev_min_deg, float elev_max_deg,
+                               float scan_period) {
+  if (n_paths <= 0 || cap_points <= 0 || queue_depth <= 0) return nullptr;
+  ScanLoader* L = new ScanLoader();
+  L->paths.reserve(n_paths);
+  for (int64_t i = 0; i < n_paths; ++i) L->paths.emplace_back(paths[i]);
+  L->cap = cap_points;
+  L->n_rings = n_rings;
+  L->elev_min_deg = elev_min_deg;
+  L->elev_max_deg = elev_max_deg;
+  L->scan_period = scan_period;
+  L->slots.resize(queue_depth);
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > queue_depth) n_threads = queue_depth;
+  for (int32_t t = 0; t < n_threads; ++t)
+    L->workers.emplace_back(scan_loader_worker, L);
+  return L;
+}
+
+// Copies the next scan (in sequence order) into the caller's buffers.
+// Returns the point count, -1 on a file read error, -2 when exhausted.
+int64_t scan_loader_next(ScanLoader* L, float* out_xyz, float* out_i,
+                         int32_t* out_ring, float* out_time) {
+  if (!L) return -2;
+  if (L->next_serve >= (int64_t)L->paths.size()) return -2;
+  const int64_t depth = (int64_t)L->slots.size();
+  ScanSlot& slot = L->slots[L->next_serve % depth];
+  std::unique_lock<std::mutex> lk(L->mu);
+  L->cv_filled.wait(lk, [&] {
+    return slot.n != -2 && slot.index == L->next_serve;
+  });
+  const int64_t n = slot.n;
+  const int64_t m = n < 0 ? 0 : n;
+  if (out_xyz) std::memcpy(out_xyz, slot.xyz.data(), m * 3 * sizeof(float));
+  if (out_i) std::memcpy(out_i, slot.inten.data(), m * sizeof(float));
+  if (out_ring)
+    std::memcpy(out_ring, slot.ring.data(), m * sizeof(int32_t));
+  if (out_time) std::memcpy(out_time, slot.time.data(), m * sizeof(float));
+  slot.n = -2;
+  slot.index = -1;
+  L->next_serve++;
+  L->cv_freed.notify_all();
+  return n;
+}
+
+void scan_loader_destroy(ScanLoader* L) {
+  if (!L) return;
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->stop = true;
+  }
+  L->cv_freed.notify_all();
+  L->next_fetch.store((int64_t)L->paths.size());
+  for (auto& t : L->workers) t.join();
+  delete L;
 }
 
 }  // extern "C"
