@@ -149,6 +149,9 @@ def main():
                            imu_max_samples=256)
         slam = topo.slam
         imu_idx = gps_idx = 0
+        # native threaded prefetch: the next scans decode while this one
+        # runs on device (io.kitti.iter_scans / native.ScanLoader)
+        scans = kitti.iter_scans(vdir)
         for k, f in enumerate(files):
             st = float(scan_ts[k])
             hi = np.searchsorted(imu["times"], st, side="right")
@@ -163,7 +166,7 @@ def main():
                 slam.add_gps(float(gps["times"][gk]), gps["xyz"][gk],
                              gps["cov"][gk])
             gps_idx = ghi
-            raw = kitti.load_scan(f)
+            raw = next(scans)
             with timer.stage("scan"):
                 est = topo.handle_cloud(st, raw)
             if est is None:
@@ -172,6 +175,7 @@ def main():
             print(f"t={topo.slam.time_last_processing:6.2f}s "
                   f"keyframes={slam.n_keyframes:3d} "
                   f"pose=({est[3]:+8.2f} {est[4]:+8.2f} {est[5]:+7.2f})")
+        scans.close()   # stops the prefetch workers
 
     else:  # lio — the fully-wired test.launch topology, synthetic platform
         from feature_base_pointcloud_registration_tpu.io.synthetic import (
