@@ -59,7 +59,7 @@ def main():
     from feature_base_pointcloud_registration_tpu.pipeline.frontend import (
         downsample_features)
 
-    B = int(os.environ.get("BENCH_BATCH", "128"))
+    B = int(os.environ.get("BENCH_BATCH", "256"))
     REPS = int(os.environ.get("BENCH_REPS", "10"))
     N_ORACLE = int(os.environ.get("BENCH_ORACLE_SCANS", "8"))
     params = Params(map_corner_cap=16384, map_surf_cap=65536, knn_chunk=4096)

@@ -129,10 +129,11 @@ def main():
         files = kitti.scan_files(vdir)[: args.scans]
         if not files:
             raise SystemExit(f"no .bin scans under {vdir}")
-        for f in files:
-            raw = kitti.load_scan(f)
+        scans = kitti.iter_scans(vdir)   # native threaded prefetch
+        for _, raw in zip(files, scans):
             xyz = np.asarray(raw.xyz)[np.asarray(raw.valid)]
             clouds.append(xyz)
+        scans.close()
         odir = os.path.join(args.data, "oxts", "data")
         if os.path.isdir(odir):
             gt_poses = kitti.load_oxts_poses(odir)[: args.scans]
