@@ -197,6 +197,27 @@ def _ring_pick(ring_window, sector_cap, edge_threshold, surf_threshold,
         asc=False: descending (key, pos) order (corner pass; larger pos
         wins ties — the reversed stable sort of the reference).  asc=True:
         ascending (surf pass; smaller pos wins ties)."""
+        # everything except `alive` is loop-invariant; precompute the
+        # per-shift "conflicting neighbor that beats me" and "suppression
+        # adjacency" masks so the while body is just rolls of the two
+        # boolean carries + and/or (XLA does not hoist across while_loop)
+        cb = {}
+        sup_adj = {}
+        for s in shifts:
+            k_s = jnp.roll(key_all, s)
+            i_s = jnp.roll(w_idx, s)
+            c = conf[s]
+            if same_sector:
+                c = c & (jnp.roll(sec, s) == sec)
+            if asc:
+                beats = (k_s < key_all) | ((k_s == key_all)
+                                           & (i_s < w_idx))
+            else:
+                beats = (k_s > key_all) | ((k_s == key_all)
+                                           & (i_s > w_idx))
+            cb[s] = c & beats
+            sup_adj[s] = c
+
         def cond(st):
             return jnp.any(st[0])
 
@@ -204,26 +225,11 @@ def _ring_pick(ring_window, sector_cap, edge_threshold, surf_threshold,
             alive, pick = st
             ext = alive
             for s in shifts:
-                a_s = jnp.roll(alive, s)
-                k_s = jnp.roll(key_all, s)
-                i_s = jnp.roll(w_idx, s)
-                c = a_s & conf[s]
-                if same_sector:
-                    c = c & (jnp.roll(sec, s) == sec)
-                if asc:
-                    beats = (k_s < key_all) | ((k_s == key_all)
-                                               & (i_s < w_idx))
-                else:
-                    beats = (k_s > key_all) | ((k_s == key_all)
-                                               & (i_s > w_idx))
-                ext = ext & ~(c & beats)
+                ext = ext & ~(jnp.roll(alive, s) & cb[s])
             pick = pick | ext
             supp = ext
             for s in shifts:
-                c = conf[s]
-                if same_sector:
-                    c = c & (jnp.roll(sec, s) == sec)
-                supp = supp | (jnp.roll(ext, s) & c)
+                supp = supp | (jnp.roll(ext, s) & sup_adj[s])
             return alive & ~supp, pick
 
         return lax.while_loop(cond, body,
