@@ -26,13 +26,65 @@ import json
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
 
 def main():
+    """Emit exactly ONE JSON line, even when the TPU backend is down.
+
+    On any failure (backend init, compile, runtime) prints a parseable
+    diagnosis line ({"metric": ..., "value": 0, "error": ...}) and exits 1,
+    so the driver captures a diagnosis instead of a raw traceback
+    (round-3's BENCH artifact was a stack dump).
+    """
+    try:
+        run()
+    except BaseException as e:  # noqa: BLE001 - the whole point is loudness
+        tb = traceback.format_exc(limit=3)
+        print(json.dumps({
+            "metric": "batched scan-to-map registration throughput",
+            "value": 0,
+            "unit": "scans/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+            "traceback_tail": tb[-1500:],
+        }))
+        sys.exit(1)
+
+
+def run():
+    # Backend-init watchdog: a dead TPU relay HANGS inside device discovery
+    # (a blocking C connect — it neither raises nor lets a SIGALRM Python
+    # handler run), so without this the except-path JSON never prints and
+    # the driver sees only its own timeout (round-3 failure mode).  A
+    # daemon-thread timer can print + _exit regardless of what blocks the
+    # main thread.
+    import threading
+
+    _INIT_BUDGET = int(os.environ.get("BENCH_INIT_TIMEOUT", "150"))
+
+    def _init_timed_out():
+        print(json.dumps({
+            "metric": "batched scan-to-map registration throughput",
+            "value": 0,
+            "unit": "scans/s",
+            "vs_baseline": 0.0,
+            "error": ("tpu_unavailable: backend initialization exceeded "
+                      f"{_INIT_BUDGET}s (TPU relay down or unreachable)"),
+        }), flush=True)
+        os._exit(1)
+
+    _watchdog = threading.Timer(_INIT_BUDGET, _init_timed_out)
+    _watchdog.daemon = True
+    _watchdog.start()
+
     import jax
     import jax.numpy as jnp
+
+    jax.devices()          # forces backend init under the watchdog
+    _watchdog.cancel()     # init done; compiles/runs get the full budget
 
     # persistent compile cache: amortizes the (slow, remote) TPU compile
     try:
@@ -98,7 +150,11 @@ def main():
     # dropped 2.5% of corner points — BENCH_r02's known defect)
     CCAP, SCAP = 32, 48
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
+    # BENCH_SOLVER=blocks forces the XLA block path even on TPU — the tested
+    # fallback switch for a fused-kernel compile/parity failure.
+    solver_name = os.environ.get("BENCH_SOLVER",
+                                 "fused" if on_tpu else "blocks")
+    if solver_name == "fused":
         # fused path: Pallas fetch (sorted-dedup row DMAs) + Pallas GN-round
         # mega-kernel, per-lane early exit (ops/pallas_gn.py)
         ctab, stab, origin, dims = build_map_planar_tables(
@@ -227,6 +283,30 @@ def main():
         diffs.append(poses[i, 3:] - pose_o[3:])
     ate_oracle = float(np.sqrt((np.stack(diffs) ** 2).sum(-1).mean()))
 
+    # the fused solver under shard_map on a real TPU mesh (1 device here;
+    # the v5p-8 deployment shape is this exact wrapper with more devices) —
+    # proves the flagship kernel compiles + runs inside the sharded program,
+    # not just via the blocks proxy the CPU dryrun uses.
+    sharded_fused_sps = None
+    if solver_name == "fused" and on_tpu:
+        from feature_base_pointcloud_registration_tpu.parallel.batch import (
+            make_mesh, shard_register_tables)
+        mesh1 = make_mesh(jax.devices()[:1])
+
+        def solve_sharded(f, p):
+            return shard_register_tables(
+                mesh1, f, ctab, stab, origin, p, grid_dims=dims,
+                solver="fused", corner_cell_cap=CCAP, surf_cell_cap=SCAP)
+
+        r, st = solve_sharded(feats, guesses_j)
+        block(r)
+        assert int(st["n_total"]) == B, st
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            r, st = solve_sharded(feats, guesses_j)
+        block(r)
+        sharded_fused_sps = round(B / ((time.perf_counter() - t0) / REPS), 2)
+
     # hash-grid overflow: fraction of map points silently dropped by cell caps
     ovf_c = float(grid_overflow_fraction(
         fmap.corner_xyz, fmap.corner_mask, origin, 2.0, dims=dims,
@@ -255,7 +335,9 @@ def main():
             "n_converged": int(np.array(res.converged).sum()),
             "grid_overflow_corner": round(ovf_c, 6),
             "grid_overflow_surf": round(ovf_s, 6),
-            "solver": "pallas_fused_gn" if on_tpu else "xla_blocks",
+            "sharded_fused_scans_per_s": sharded_fused_sps,
+            "solver": ("pallas_fused_gn" if solver_name == "fused"
+                       else "xla_blocks"),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

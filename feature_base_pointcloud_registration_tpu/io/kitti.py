@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import glob
 import os
+import warnings
 
 import numpy as np
 
@@ -29,6 +30,7 @@ def load_scan(path: str, max_points: int = 1 << 17) -> RawScan:
                               elev_max=HDL64_ELEV_MAX)
     n = len(d["xyz"])
     if n > max_points:
+        _warn_truncated(path, n, max_points)
         for k in ("xyz", "intensity", "ring", "time", "valid"):
             d[k] = d[k][:max_points]
         n = max_points
@@ -38,6 +40,22 @@ def load_scan(path: str, max_points: int = 1 << 17) -> RawScan:
     valid = np.zeros(max_points, bool)
     valid[:n] = d["valid"][:n] & (d["ring"][:n] >= 0)
     return raw._replace(valid=jnp.asarray(valid))
+
+
+_warned_truncation = False
+
+
+def _warn_truncated(path: str, n: int, max_points: int):
+    """Warn ONCE per process when a scan exceeds the point cap (dense HDL-64
+    frames run ~120-130k points, right at the default 131072 cap)."""
+    global _warned_truncation
+    if not _warned_truncation:
+        _warned_truncation = True
+        warnings.warn(
+            f"KITTI scan {os.path.basename(path)} has {n} points, truncated "
+            f"to max_points={max_points}; raise max_points to keep them "
+            "(further truncations this process will be silent)",
+            stacklevel=3)
 
 
 def scan_files(velodyne_dir: str):
@@ -56,7 +74,9 @@ def iter_scans(velodyne_dir: str, max_points: int = 1 << 17,
                            n_threads=n_threads, n_rings=HDL64_RINGS,
                            elev_min=HDL64_ELEV_MIN,
                            elev_max=HDL64_ELEV_MAX) as it:
-        for d in it:
+        for i, d in enumerate(it):
+            if len(d["xyz"]) > max_points:
+                _warn_truncated(paths[i], len(d["xyz"]), max_points)
             n = min(len(d["xyz"]), max_points)
             raw = RawScan.from_numpy(d["xyz"][:n], d["intensity"][:n],
                                      d["ring"][:n], d["time"][:n],
@@ -111,8 +131,19 @@ def _read_oxts(oxts_dir: str):
     files = _oxts_files(oxts_dir)
     if not files:
         return np.zeros((0, 30)), np.zeros(0)
-    rows = [np.loadtxt(f) for f in files]
-    data = np.stack([r[: len(rows[0])] for r in rows])
+    rows = [np.atleast_1d(np.loadtxt(f)) for f in files]
+    width = len(rows[0])
+    # ragged records happen in some raw drives (truncated trailing fields);
+    # pad short rows with zeros instead of letting np.stack raise
+    if any(len(r) != width for r in rows):
+        warnings.warn(
+            f"oxts records in {oxts_dir} are ragged "
+            f"(lengths {sorted({len(r) for r in rows})}); short rows are "
+            "zero-padded", stacklevel=2)
+    data = np.stack([
+        r[:width] if len(r) >= width
+        else np.concatenate([r, np.zeros(width - len(r))])
+        for r in rows])
     times = _oxts_times(oxts_dir, len(files))
     if len(times) < len(files):
         times = np.arange(len(files), dtype=np.float64) * 0.1

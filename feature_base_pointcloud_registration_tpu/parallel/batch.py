@@ -478,6 +478,14 @@ def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
             else:
                 candc, cands = fetch(stat[:, 0:6])
                 stat = stat.at[:, 7].set(0.0)   # re-verify every lane
+        else:
+            # shared_fetch: reuse the round-0 candidate pool, but still
+            # re-verify convergence each round — without this reset, lanes
+            # that converged in round 1 would skip every later iteration
+            # and the returned converged/n_corr would reflect the
+            # init-pose pool, a silent semantics change beyond the
+            # documented pool-staleness accuracy caveat.
+            stat = stat.at[:, 7].set(0.0)
         stat, matP = gn_round_pallas(
             stat, matP, featc, featsp, candc, cands, K=K,
             iters=iters_per_round, min_corr=min_correspondences)
@@ -490,6 +498,50 @@ def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
         is_degenerate=stat[:, 8] > 0,
         valid=stat[:, 9] > 0,
     )
+
+
+def make_shard_register_tables(mesh: Mesh, *, grid_dims,
+                               axis_name: str = "data",
+                               solver: str = "fused", **solve_kw):
+    """Factory for the sharded grid-table solver: returns a jitted
+    `(features, corner_tab, surf_tab, origin, init_poses) -> (res, stats)`
+    callable.  Build ONCE per (mesh, config) and reuse — every factory call
+    creates a fresh closure, i.e. a fresh jit cache entry, so calling the
+    factory per step recompiles per step.
+    """
+    solve = {"fused": batch_register_fused,
+             "blocks": batch_register_blocks}[solver]
+
+    def local_fn(f, ct, st, org, p):
+        res = solve(f, ct, st, org, p, grid_dims=grid_dims, **solve_kw)
+        n_conv = jax.lax.psum(jnp.sum(res.converged.astype(jnp.int32)),
+                              axis_name)
+        n_total = jax.lax.psum(res.converged.shape[0], axis_name)
+        mean_iters = jax.lax.pmean(
+            jnp.mean(res.iterations.astype(jnp.float32)), axis_name)
+        return res, {"n_converged": n_conv, "n_total": n_total,
+                     "mean_iterations": mean_iters}
+
+    spec_feats = ScanFeatures(P(axis_name), P(axis_name),
+                              P(axis_name), P(axis_name))
+    # bare P() = replicated prefix spec broadcast over the whole table pytree
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(spec_feats, P(), P(), P(), P(axis_name)),
+        out_specs=(
+            RegisterResult(P(axis_name), P(axis_name), P(axis_name),
+                           P(axis_name), P(axis_name), P(axis_name)),
+            {"n_converged": P(), "n_total": P(), "mean_iterations": P()},
+        ),
+        # pallas_call outputs carry no varying-manual-axes metadata, so the
+        # vma check rejects the fused kernel under shard_map; the blocks
+        # path keeps the check.
+        check_vma=(solver != "fused"),
+    )
+    return jax.jit(fn)
+
+
+_SHARD_TABLES_CACHE = {}
 
 
 def shard_register_tables(mesh: Mesh, features: ScanFeatures, corner_tab,
@@ -510,34 +562,23 @@ def shard_register_tables(mesh: Mesh, features: ScanFeatures, corner_tab,
     per-shard batch must keep B_shard * feature caps multiples of the
     kernel's 512-query tile.
 
+    The underlying jitted callable is memoized on (mesh, config), so
+    repeated calls reuse the compiled executable; use
+    make_shard_register_tables directly to manage the lifetime yourself.
+
     Returns (RegisterResult [B, ...], stats) like shard_register.
     """
-    solve = {"fused": batch_register_fused,
-             "blocks": batch_register_blocks}[solver]
-
-    def local_fn(f, ct, st, org, p):
-        res = solve(f, ct, st, org, p, grid_dims=grid_dims, **solve_kw)
-        n_conv = jax.lax.psum(jnp.sum(res.converged.astype(jnp.int32)),
-                              axis_name)
-        n_total = jax.lax.psum(res.converged.shape[0], axis_name)
-        mean_iters = jax.lax.pmean(
-            jnp.mean(res.iterations.astype(jnp.float32)), axis_name)
-        return res, {"n_converged": n_conv, "n_total": n_total,
-                     "mean_iterations": mean_iters}
-
-    spec_feats = ScanFeatures(P(axis_name), P(axis_name),
-                              P(axis_name), P(axis_name))
-    rep = lambda tree: jax.tree.map(lambda _: P(), tree,
-                                    is_leaf=lambda x: x is None)
-    fn = shard_map(
-        local_fn, mesh=mesh,
-        in_specs=(spec_feats, rep(corner_tab), rep(surf_tab), P(),
-                  P(axis_name)),
-        out_specs=(
-            RegisterResult(P(axis_name), P(axis_name), P(axis_name),
-                           P(axis_name), P(axis_name), P(axis_name)),
-            {"n_converged": P(), "n_total": P(), "mean_iterations": P()},
-        ),
-    )
-    return jax.jit(fn)(features, corner_tab, surf_tab, jnp.asarray(origin),
-                       init_poses)
+    try:
+        key = (mesh, tuple(grid_dims), axis_name, solver,
+               tuple(sorted(solve_kw.items())))
+        fn = _SHARD_TABLES_CACHE.get(key)
+        if fn is None:
+            fn = _SHARD_TABLES_CACHE[key] = make_shard_register_tables(
+                mesh, grid_dims=grid_dims, axis_name=axis_name,
+                solver=solver, **solve_kw)
+    except TypeError:  # unhashable kwarg: fall back to a one-shot build
+        fn = make_shard_register_tables(
+            mesh, grid_dims=grid_dims, axis_name=axis_name, solver=solver,
+            **solve_kw)
+    return fn(features, corner_tab, surf_tab, jnp.asarray(origin),
+              init_poses)
