@@ -309,7 +309,14 @@ def _corr_surf(fx, fy, fz, fm, cand, xw, yw, zw, K):
     r22 = cols[2][2:3, :]
 
     def _safe(dv):
-        return jnp.where(jnp.abs(dv) > 1e-20, dv, 1e-20)
+        # floor at 1e-6, NOT 1e-20: a degenerate R (e.g. all-sentinel
+        # candidate rows) with r22 ~ 1e-20 sends n2 to ~1e20, whose square
+        # overflows fp32 to inf, and pa = inf/inf = NaN — which survives
+        # the later maskf=0 multiply (NaN * 0 = NaN) and poisons the whole
+        # lane's JtJ.  Any pivot this small fails the |r00 r11 r22| > 1e-5
+        # determinant gate anyway, so the clamp never changes a kept plane.
+        return jnp.where(jnp.abs(dv) > 1e-6,
+                         dv, jnp.where(dv >= 0, 1e-6, -1e-6))
 
     y0 = y[0:1, :]
     y1 = y[1:2, :]
@@ -317,6 +324,13 @@ def _corr_surf(fx, fy, fz, fm, cand, xw, yw, zw, K):
     n2 = y2 / _safe(r22)
     n1 = (y1 - r12 * n2) / _safe(r11)
     n0 = (y0 - r01 * n1 - r02 * n2) / _safe(r00)
+    # cascaded divisions by floored pivots can still reach ~1e23 on
+    # degenerate rows, whose square is inf; clip keeps every later square
+    # finite.  A clip that binds means the fitted plane passes within
+    # 1e-6 m of the origin — not a real plane the gates would keep.
+    n0 = jnp.clip(n0, -1e6, 1e6)
+    n1 = jnp.clip(n1, -1e6, 1e6)
+    n2 = jnp.clip(n2, -1e6, 1e6)
     ok_det = jnp.where(jnp.abs(r00 * r11 * r22) > 1e-5, 1.0, 0.0)
 
     ps = jnp.sqrt(n0 * n0 + n1 * n1 + n2 * n2)
