@@ -154,6 +154,14 @@ def run():
     # fallback switch for a fused-kernel compile/parity failure.
     solver_name = os.environ.get("BENCH_SOLVER",
                                  "fused" if on_tpu else "blocks")
+    # Coarse-to-fine round-0 query subsampling (round-4 lever): the fetch is
+    # ~85% of solve time and round 0 only needs to carry the pose into the
+    # full-resolution round-1 pool's validity basin.  surf/8 + corner/4
+    # measured 1417 scans/s vs 872 full-resolution, with oracle parity
+    # UNCHANGED (2.1e-4 m) and identical convergence; the cliff is at
+    # surf/16 (ate 0.16 m) — scripts/exp_solve_throughput.py.
+    R1S = int(os.environ.get("BENCH_R1_SURF_STRIDE", "8"))
+    R1C = int(os.environ.get("BENCH_R1_CORNER_STRIDE", "4"))
     if solver_name == "fused":
         # fused path: Pallas fetch (sorted-dedup row DMAs) + Pallas GN-round
         # mega-kernel, per-lane early exit (ops/pallas_gn.py)
@@ -164,7 +172,9 @@ def run():
             return batch_register_fused(feats, ctab, stab, origin, poses,
                                         grid_dims=dims,
                                         corner_cell_cap=CCAP,
-                                        surf_cell_cap=SCAP)
+                                        surf_cell_cap=SCAP,
+                                        round1_surf_stride=R1S,
+                                        round1_corner_stride=R1C)
     else:
         ctab, stab, origin, dims = build_map_block_tables(
             fmap, center, half, corner_cell_cap=CCAP, surf_cell_cap=SCAP)
@@ -296,7 +306,8 @@ def run():
         def solve_sharded(f, p):
             return shard_register_tables(
                 mesh1, f, ctab, stab, origin, p, grid_dims=dims,
-                solver="fused", corner_cell_cap=CCAP, surf_cell_cap=SCAP)
+                solver="fused", corner_cell_cap=CCAP, surf_cell_cap=SCAP,
+                round1_surf_stride=R1S, round1_corner_stride=R1C)
 
         r, st = solve_sharded(feats, guesses_j)
         block(r)

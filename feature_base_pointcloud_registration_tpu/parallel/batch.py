@@ -328,7 +328,8 @@ def batch_register_blocks(features: ScanFeatures, corner_block, surf_block,
                                    "num_candidates", "min_correspondences",
                                    "edge_min_valid", "surf_min_valid",
                                    "shared_fetch", "skip_converged_refetch",
-                                   "presort_rows"))
+                                   "presort_rows", "round1_surf_stride",
+                                   "round1_corner_stride"))
 def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
                          origin, init_poses, *, grid_dims,
                          cell_size: float = 2.0, corner_cell_cap: int = 16,
@@ -339,7 +340,9 @@ def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
                          surf_min_valid: int = 100,
                          shared_fetch: bool = False,
                          skip_converged_refetch: bool = False,
-                         presort_rows: bool = False) -> RegisterResult:
+                         presort_rows: bool = False,
+                         round1_surf_stride: int = 1,
+                         round1_corner_stride: int = 1) -> RegisterResult:
     """Fused-kernel batched solve: Pallas fetch + Pallas GN-round kernel.
 
     Two kernels per round (candidate fetch, full GN iteration loop) instead
@@ -429,18 +432,17 @@ def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
         return jnp.transpose(nn.reshape(B, P, K, 3),
                              (0, 3, 2, 1)).reshape(B, 3 * K, P)
 
-    cmask_flat = features.corner_mask.reshape(B * Pc)
-    smask_flat = features.surf_mask.reshape(B * Ps)
-
-    def fetch(pose, skip_lane=None):
+    def fetch(pose, cxyz, cmask, sxyz, smask, skip_lane=None):
+        pc = cxyz.shape[1]
+        ps = sxyz.shape[1]
         R = jax.vmap(euler_to_rot)(pose[:, 0], pose[:, 1], pose[:, 2])
-        cw = jnp.einsum("bij,bpj->bpi", R, features.corner_xyz,
+        cw = jnp.einsum("bij,bpj->bpi", R, cxyz,
                         precision=prec) + pose[:, None, 3:6]
-        sw = jnp.einsum("bij,bpj->bpi", R, features.surf_xyz,
+        sw = jnp.einsum("bij,bpj->bpi", R, sxyz,
                         precision=prec) + pose[:, None, 3:6]
-        cbc = block_cell_of(cw.reshape(B * Pc, 3), origin, cell_size,
+        cbc = block_cell_of(cw.reshape(B * pc, 3), origin, cell_size,
                             dims=grid_dims)
-        sbc = block_cell_of(sw.reshape(B * Ps, 3), origin, cell_size,
+        sbc = block_cell_of(sw.reshape(B * ps, 3), origin, cell_size,
                             dims=grid_dims)
         # padded/invalid features -> sentinel row: the fetch kernel skips
         # their DMA entirely (the per-query row DMA count is what bounds
@@ -449,22 +451,58 @@ def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
         # (pallas_gn's per-iteration guard), so their candidates are never
         # read — route every query at the sentinel and the fetch skips the
         # lane's DMA waves AND compute outright.
-        cmask_q = cmask_flat
-        smask_q = smask_flat
+        cmask_q = cmask.reshape(B * pc)
+        smask_q = smask.reshape(B * ps)
         if skip_lane is not None:
-            cmask_q = cmask_q & ~jnp.repeat(skip_lane, Pc)
-            smask_q = smask_q & ~jnp.repeat(skip_lane, Ps)
+            cmask_q = cmask_q & ~jnp.repeat(skip_lane, pc)
+            smask_q = smask_q & ~jnp.repeat(skip_lane, ps)
         cbc = jnp.where(cmask_q, cbc, sentinel_of(corner_planar))
         sbc = jnp.where(smask_q, sbc, sentinel_of(surf_planar))
-        _, cnn = run_fetch(corner_planar, cbc, cw.reshape(B * Pc, 3))
-        _, snn = run_fetch(surf_planar, sbc, sw.reshape(B * Ps, 3))
-        return cand_planes(cnn, Pc), cand_planes(snn, Ps)
+        _, cnn = run_fetch(corner_planar, cbc, cw.reshape(B * pc, 3))
+        _, snn = run_fetch(surf_planar, sbc, sw.reshape(B * ps, 3))
+        return cand_planes(cnn, pc), cand_planes(snn, ps)
+
+    # iters_per_round: int (same budget every round) or a sequence of
+    # per-round budgets (len == num_rounds).  shared_fetch: False = refetch
+    # every round; True = one fetch at the init pose shared by all rounds;
+    # "tail" = refetch at round 1 (so the pool is from a near-converged
+    # pose), then share THAT pool for rounds >= 2 — extra polish rounds
+    # cost GN time only, with none of the init-pool staleness.
+    if isinstance(iters_per_round, int):
+        iters_seq = [iters_per_round] * num_rounds
+    else:
+        iters_seq = list(iters_per_round)
+        assert len(iters_seq) == num_rounds, (iters_seq, num_rounds)
+
+    # Coarse-to-fine: round 0 only needs to carry the pose into the final
+    # pool's validity basin, and the FETCH is ~85% of solve time (round-4
+    # measurement: one fetch 0.49 ms/scan vs 0.09 per GN round), so
+    # subsampling round-0 queries cuts the dominant cost nearly in half
+    # while the full-resolution refetch + final round keep the returned
+    # pose/n_corr at full fidelity (oracle-parity measured unchanged).
+    full_args = (features.corner_xyz, features.corner_mask,
+                 features.surf_xyz, features.surf_mask)
+    cs, ss = round1_corner_stride, round1_surf_stride
+    if cs > 1 or ss > 1:
+        assert not shared_fetch and num_rounds >= 2, (
+            "round-0 subsampling needs a full-resolution refetch round")
+        r0_args = (features.corner_xyz[:, ::cs],
+                   features.corner_mask[:, ::cs],
+                   features.surf_xyz[:, ::ss],
+                   features.surf_mask[:, ::ss])
+        featc0 = featc[:, :, ::cs]
+        featsp0 = featsp[:, :, ::ss]
+    else:
+        r0_args = full_args
+        featc0, featsp0 = featc, featsp
 
     for r in range(num_rounds):
+        refetch_this = (r == 1) if shared_fetch == "tail" else (
+            not shared_fetch)
         if r == 0:
-            candc, cands = fetch(stat[:, 0:6])
+            candc, cands = fetch(stat[:, 0:6], *r0_args)
             stat = stat.at[:, 7].set(0.0)
-        elif not shared_fetch:
+        elif refetch_this:
             if skip_converged_refetch:
                 # Lanes that converged last round keep converged=1, so the
                 # GN kernel skips all their iterations — refetch (and
@@ -473,22 +511,23 @@ def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
                 # iteration, so the risk is pool coverage only (same class
                 # as shared_fetch, but restricted to lanes that already
                 # reached the convergence grain).
-                candc, cands = fetch(stat[:, 0:6],
+                candc, cands = fetch(stat[:, 0:6], *full_args,
                                      skip_lane=stat[:, 7] > 0)
             else:
-                candc, cands = fetch(stat[:, 0:6])
+                candc, cands = fetch(stat[:, 0:6], *full_args)
                 stat = stat.at[:, 7].set(0.0)   # re-verify every lane
         else:
-            # shared_fetch: reuse the round-0 candidate pool, but still
+            # shared pool round: reuse the previous pool, but still
             # re-verify convergence each round — without this reset, lanes
             # that converged in round 1 would skip every later iteration
             # and the returned converged/n_corr would reflect the
-            # init-pose pool, a silent semantics change beyond the
+            # stale pool, a silent semantics change beyond the
             # documented pool-staleness accuracy caveat.
             stat = stat.at[:, 7].set(0.0)
+        fc, fs = (featc0, featsp0) if r == 0 else (featc, featsp)
         stat, matP = gn_round_pallas(
-            stat, matP, featc, featsp, candc, cands, K=K,
-            iters=iters_per_round, min_corr=min_correspondences)
+            stat, matP, fc, fs, candc, cands, K=K,
+            iters=iters_seq[r], min_corr=min_correspondences)
 
     return RegisterResult(
         pose6=stat[:, 0:6],
