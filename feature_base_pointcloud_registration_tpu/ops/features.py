@@ -39,6 +39,10 @@ from .voxel import voxel_downsample
 
 _INF = jnp.float32(jnp.inf)
 
+# stride fast-forward for the strict surf MIS (see mis() below); module
+# flag so tests can A/B the plain rounds against the accelerated path
+_MIS_STRIDE_DEFAULT = True
+
 
 def _curvature_flat(point_range, num_points):
     """diffRange = sum(r[i-5..i+5]) - 11*r[i] ... actually ref uses
@@ -191,12 +195,32 @@ def _ring_pick(ring_window, sector_cap, edge_threshold, surf_threshold,
 
     key_all = jnp.where(is_ep, _INF, curv)
 
-    def mis(cand, asc, same_sector):
+    def mis(cand, asc, same_sector, stride=False):
         """Exact greedy pick set via local-extrema rounds.
 
         asc=False: descending (key, pos) order (corner pass; larger pos
         wins ties — the reversed stable sort of the reference).  asc=True:
-        ascending (surf pass; smaller pos wins ties)."""
+        ascending (surf pass; smaller pos wins ties).
+
+        stride=True adds the chain fast-forward: plain extrema rounds
+        advance ~1 pick per round along sequential dependency chains (the
+        strict surf pass hits 25-50 rounds per sector on flat rings:
+        equal-key curv=0 runs 140-200 long, plus distinct-key monotone
+        stretches — docs/ROUND_NOTES.md round 4).  A pick at i-6
+        suppresses ALL of i-5..i-1 (each within path-clear distance 5 of
+        the pick, whatever their keys), so i itself is serially picked
+        provided (a) the whole window [i-6, i] is path-clear (one bcum
+        equality — bcum is monotone), (b) i is alive, and (c) no alive
+        conflicting neighbor on i's far side beats i (the near side is
+        the dependency the stride replaces; a far-side alive beater would
+        be serially processed before i and might suppress it).  That
+        relation is a stride-6 reachability along the ring — closed in
+        log2(W/6) doubling steps, all elementwise.  Both directions run:
+        forward chains (pick left, resolve rightward) and backward
+        (mirror).  No key monotonicity is required; correctness argument
+        in the round-4 notes, bit-parity held by
+        test_strict_pick_equals_reference_stream + the fuzz test.
+        """
         # everything except `alive` is loop-invariant; precompute the
         # per-shift "conflicting neighbor that beats me" and "suppression
         # adjacency" masks so the while body is just rolls of the two
@@ -218,14 +242,46 @@ def _ring_pick(ring_window, sector_cap, edge_threshold, surf_threshold,
             cb[s] = c & beats
             sup_adj[s] = c
 
+        # stride-6 single-hop validity (path-clear window + no index wrap);
+        # roll(x, 6)[i] = x[i-6] (forward hop), roll(x, -6)[i] = x[i+6]
+        if stride:
+            hop_f = ((jnp.roll(bcum, 6) == bcum)
+                     & (jnp.roll(w_idx, 6) == w_idx - 6))
+            hop_b = ((jnp.roll(bcum, -6) == bcum)
+                     & (jnp.roll(w_idx, -6) == w_idx + 6))
+            n_dbl = max(1, (W // 6).bit_length())
+
         def cond(st):
             return jnp.any(st[0])
 
         def body(st):
             alive, pick = st
-            ext = alive
+            # ext_r: no alive RIGHT-side beater (neighbor j > i ⇔ s < 0);
+            # ext_l mirrors.  ext = both sides clear (the plain extremum).
+            ext_r = alive
+            ext_l = alive
             for s in shifts:
-                ext = ext & ~(jnp.roll(alive, s) & cb[s])
+                clear = ~(jnp.roll(alive, s) & cb[s])
+                if s < 0:
+                    ext_r = ext_r & clear
+                else:
+                    ext_l = ext_l & clear
+            ext = ext_r & ext_l
+            if stride:
+                # reachability closure: R starts at true extrema, P is the
+                # composable "chain into i is valid" window mask
+                rf = ext
+                rb = ext
+                pf = ext_r & hop_f
+                pb = ext_l & hop_b
+                d = 6
+                for _ in range(n_dbl):
+                    rf = rf | (jnp.roll(rf, d) & pf)
+                    rb = rb | (jnp.roll(rb, -d) & pb)
+                    pf = pf & jnp.roll(pf, d)
+                    pb = pb & jnp.roll(pb, -d)
+                    d *= 2
+                ext = rf | rb
             pick = pick | ext
             supp = ext
             for s in shifts:
@@ -259,7 +315,8 @@ def _ring_pick(ring_window, sector_cap, edge_threshold, surf_threshold,
             pick_c = top20(mis(cand_c, asc=False, same_sector=False))
             marks = marks | dilate(pick_c)
             cand_s = in_sec & ~marks & (curv < surf_threshold)
-            pick_s = mis(cand_s, asc=True, same_sector=False)
+            pick_s = mis(cand_s, asc=True, same_sector=False,
+                         stride=_MIS_STRIDE_DEFAULT)
             marks = marks | dilate(pick_s)
             label = jnp.where(pick_c, jnp.int8(1),
                               jnp.where(pick_s, jnp.int8(-1), label))

@@ -215,3 +215,66 @@ def test_strict_pick_equals_reference_stream():
                 want[i] = -1
                 suppress(i)
         np.testing.assert_array_equal(label, want, err_msg=str(trial))
+
+
+def test_mis_stride_fastforward_equivalence():
+    """The stride-6 chain fast-forward inside mis() (features.py) must be a
+    pure acceleration: identical pick sets to the plain extrema rounds on
+    adversarial key patterns — long equal-key runs (flat ground), monotone
+    ramps both directions, valleys, random ties, column-gap breaks, and
+    pre-suppressed holes."""
+    import jax
+    import jax.numpy as jnp
+    from feature_base_pointcloud_registration_tpu.ops import features as F
+
+    W = 384
+    w_idx = np.arange(W, dtype=np.int32)
+
+    def run_pick(curv, col, picked0, stride):
+        window = dict(
+            curv=jnp.asarray(curv, jnp.float32),
+            col=jnp.asarray(col, jnp.int32),
+            picked=jnp.asarray(picked0),
+            sp=jnp.asarray([0, 64, 128, 192, 256, 320], np.int32),
+            ep=jnp.asarray([63, 127, 191, 255, 319, W - 1], np.int32),
+            sector_ok=jnp.asarray([True] * 6))
+        # monkeypatch-free: drive the pass through _ring_pick by toggling
+        # the stride call site via a tiny local re-implementation is
+        # fragile; instead call _ring_pick twice with the module flag
+        with _stride_override(F, stride):
+            label, _ = F._ring_pick(window, 304, edge_threshold=1.0,
+                                    surf_threshold=0.1, strict=True)
+        return np.array(label)
+
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _stride_override(mod, enabled):
+        # the strict surf pass passes stride=True; force-disable by
+        # wrapping _ring_pick's mis via a flag the test controls
+        orig = mod._MIS_STRIDE_DEFAULT
+        mod._MIS_STRIDE_DEFAULT = enabled
+        try:
+            yield
+        finally:
+            mod._MIS_STRIDE_DEFAULT = orig
+
+    rng = np.random.RandomState(77)
+    for trial in range(6):
+        kind = trial % 3
+        if kind == 0:       # long flat runs with exact zeros
+            curv = np.zeros(W, np.float32)
+            bump = rng.uniform(0, 1, W) < 0.05
+            curv[bump] = rng.uniform(0, 0.09, bump.sum())
+        elif kind == 1:     # monotone ramps up/down + ties
+            curv = np.abs(np.sin(np.linspace(0, 6, W))) * 0.09
+            curv = curv.astype(np.float32)
+            curv[rng.uniform(0, 1, W) < 0.2] = 0.0
+        else:               # random with heavy ties
+            curv = (rng.uniform(0, 1, W) ** 3 * 0.3).astype(np.float32)
+            curv[rng.uniform(0, 1, W) < 0.4] = 0.0
+        col = np.sort(rng.randint(0, 1800, W)).astype(np.int32)
+        picked0 = rng.uniform(0, 1, W) < (0.05 * (trial % 4))
+        a = run_pick(curv, col, picked0, True)
+        b = run_pick(curv, col, picked0, False)
+        np.testing.assert_array_equal(a, b, err_msg=f"trial {trial}")
