@@ -25,6 +25,17 @@ def main():
     ap.add_argument("--save-dir", default=None)
     ap.add_argument("--loop", action="store_true",
                     help="enable loop closure")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="run under the respawn supervisor: checkpoint "
+                         "the full pipeline state here and auto-resume "
+                         "from it after a crash (or on restart) — the "
+                         "roslaunch respawn=true analog")
+    ap.add_argument("--checkpoint-every", type=int, default=4,
+                    help="scans between checkpoints")
+    ap.add_argument("--crash-at", type=int, default=None,
+                    help="inject one crash at scan K (supervisor demo)")
+    ap.add_argument("--plot", default=None, metavar="PNG",
+                    help="export the trajectory/map overview (rviz analog)")
     args = ap.parse_args()
 
     import dataclasses
@@ -40,23 +51,52 @@ def main():
     params = Params(map_corner_cap=8192, map_surf_cap=65536,
                     loop_closure_enable_flag=args.loop)
     world = SyntheticWorld()
-    pipe = SlamPipeline(params, max_keyframes=256)
 
-    for k in range(args.scans):
+    def make_scan(k):
         gt = np.array([0, 0, 0.04 * k, 0.25 * k - 2.0, 0.12 * k - 1.0, 0.0],
                       np.float32)
         s = simulate_scan(world, gt, seed=100 + k)
         raw = RawScan.from_numpy(s["xyz"], s["intensity"], s["ring"],
                                  s["time"])
-        raw = raw._replace(valid=jnp.asarray(s["valid"]))
-        pose = pipe.step(raw, timestamp=0.2 * k)
-        rel = np.linalg.norm(pose[3:] - (gt[3:] - np.array([-2., -1., 0.])))
+        return raw._replace(valid=jnp.asarray(s["valid"]))
+
+    crashed = {"armed": args.crash_at is not None}
+
+    def step(pipe, k):
+        if crashed["armed"] and k == args.crash_at:
+            crashed["armed"] = False
+            raise RuntimeError(f"injected crash at scan {k}")
+        pose = pipe.step(make_scan(k), timestamp=0.2 * k)
         print(f"scan {k:3d}: keyframes={pipe.n_keyframes:3d} "
               f"pose=({pose[3]:+7.3f} {pose[4]:+7.3f} {pose[5]:+7.3f})")
+
+    def build():
+        return SlamPipeline(params, max_keyframes=256)
+
+    if args.checkpoint_dir:
+        from feature_base_pointcloud_registration_tpu.utils.supervise import (
+            run_supervised)
+
+        pipe, n_respawns = run_supervised(
+            build, list(range(args.scans)), step, args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every)
+        if n_respawns:
+            print(f"supervisor: recovered from {n_respawns} crash(es) "
+                  f"via {args.checkpoint_dir}")
+    else:
+        pipe = build()
+        for k in range(args.scans):
+            step(pipe, k)
 
     if args.save_dir:
         pipe.save_map(args.save_dir)
         print(f"map saved to {args.save_dir}")
+
+    if args.plot:
+        from feature_base_pointcloud_registration_tpu.utils.viz import (
+            export_run_plot)
+        export_run_plot(pipe, args.plot)
+        print(f"run overview written to {args.plot}")
 
 
 if __name__ == "__main__":
