@@ -23,11 +23,18 @@ HDL64_ELEV_MIN = -24.9
 HDL64_ELEV_MAX = 2.0
 
 
-def load_scan(path: str, max_points: int = 1 << 17) -> RawScan:
-    """One velodyne .bin -> RawScan (padded to max_points)."""
-    d = native.kitti_read_bin(path, n_rings=HDL64_RINGS,
-                              elev_min=HDL64_ELEV_MIN,
-                              elev_max=HDL64_ELEV_MAX)
+def load_scan(path: str, max_points: int = 1 << 17,
+              n_rings: int = HDL64_RINGS,
+              elev_min: float = HDL64_ELEV_MIN,
+              elev_max: float = HDL64_ELEV_MAX) -> RawScan:
+    """One velodyne .bin -> RawScan (padded to max_points).
+
+    Sensor geometry defaults to the HDL-64E that recorded KITTI raw; pass
+    n_rings/elev_min/elev_max for other spinning lidars stored in the same
+    .bin format (ring is re-derived from elevation either way)."""
+    d = native.kitti_read_bin(path, n_rings=n_rings,
+                              elev_min=elev_min,
+                              elev_max=elev_max)
     n = len(d["xyz"])
     if n > max_points:
         _warn_truncated(path, n, max_points)
@@ -63,7 +70,10 @@ def scan_files(velodyne_dir: str):
 
 
 def iter_scans(velodyne_dir: str, max_points: int = 1 << 17,
-               queue_depth: int = 4, n_threads: int = 2):
+               queue_depth: int = 4, n_threads: int = 2,
+               n_rings: int = HDL64_RINGS,
+               elev_min: float = HDL64_ELEV_MIN,
+               elev_max: float = HDL64_ELEV_MAX):
     '''Iterate RawScans with native threaded prefetch: worker threads
     decode upcoming .bin files while the consumer scan is on device
     (native.ScanLoader; synchronous fallback without the shared lib).'''
@@ -71,9 +81,9 @@ def iter_scans(velodyne_dir: str, max_points: int = 1 << 17,
 
     paths = scan_files(velodyne_dir)
     with native.ScanLoader(paths, cap=max_points, queue_depth=queue_depth,
-                           n_threads=n_threads, n_rings=HDL64_RINGS,
-                           elev_min=HDL64_ELEV_MIN,
-                           elev_max=HDL64_ELEV_MAX) as it:
+                           n_threads=n_threads, n_rings=n_rings,
+                           elev_min=elev_min,
+                           elev_max=elev_max) as it:
         for i, d in enumerate(it):
             if len(d["xyz"]) > max_points:
                 _warn_truncated(paths[i], len(d["xyz"]), max_points)
