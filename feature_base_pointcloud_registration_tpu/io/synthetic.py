@@ -146,13 +146,18 @@ class SyntheticWorld:
 def simulate_scan(world: SyntheticWorld, pose6, n_scan: int = 16,
                   horizon_scan: int = 1800, scan_period: float = 0.1,
                   noise: float = 0.0, seed: int = 0,
-                  spin_rpy_rate=None):
+                  spin_rpy_rate=None, vel_world=None):
     """Ray-cast one VLP-16 scan from pose6 (sensor in world frame).
 
     Returns dict(xyz [N,3] sensor frame, intensity, ring, time, valid).
     If spin_rpy_rate (rad/s, [3]) is given, the sensor rotates during the
     sweep — points are produced in the *instantaneous* sensor frame like a
-    real spinning lidar, for deskew testing.
+    real spinning lidar, for deskew testing.  vel_world (m/s, [3], spin
+    path only) additionally translates the sensor during the sweep — the
+    full motion-skew of a vehicle-mounted lidar (the reference corrects
+    rotation skew only and stubs position skew, ref:
+    src/imageProjection.cpp:500-511; scans generated with both stress
+    exactly that envelope).
     """
     rng = np.random.RandomState(seed)
     T = pose6_to_matrix_np(np.asarray(pose6, np.float64))
@@ -170,21 +175,22 @@ def simulate_scan(world: SyntheticWorld, pose6, n_scan: int = 16,
 
     if spin_rpy_rate is not None:
         rates = np.asarray(spin_rpy_rate, np.float64)
-        d_world = np.empty_like(d_sensor)
+        # instantaneous attitude = R0 @ Rz(yaw_rate*t)Ry(..)Rx(..);
+        # _euler_to_rot_np broadcasts over vector angles to [3, 3, N]
+        ang = rates[:, None] * rel_t[None, :].astype(np.float64)
+        Ri = np.moveaxis(_euler_to_rot_np(ang[0], ang[1], ang[2]),
+                         -1, 0)                      # [N, 3, 3]
+        Ri = np.einsum("ij,njk->nik", R0, Ri)        # R0 @ Ri, [N, 3, 3]
+        d_world = np.einsum("nij,nj->ni", Ri, d_sensor)
         o_world = np.broadcast_to(t0, d_sensor.shape).copy()
-        # instantaneous attitude = R0 @ Rz(yaw_rate*t)Ry(..)Rx(..)
-        for i in range(d_sensor.shape[0]):
-            ang = rates * rel_t[i]
-            Ri = R0 @ _euler_to_rot_np(ang[0], ang[1], ang[2])
-            d_world[i] = Ri @ d_sensor[i]
+        if vel_world is not None:
+            o_world = o_world + (np.asarray(vel_world, np.float64)[None, :]
+                                 * rel_t[:, None])
         t_hit = world.ray_hit(o_world, d_world)
         ok = np.isfinite(t_hit)
         p_world = o_world + d_world * t_hit[:, None]
-        xyz = np.empty_like(d_sensor)
-        for i in range(d_sensor.shape[0]):
-            ang = rates * rel_t[i]
-            Ri = R0 @ _euler_to_rot_np(ang[0], ang[1], ang[2])
-            xyz[i] = Ri.T @ (p_world[i] - t0)
+        # back into the instantaneous sensor frame at each point's time
+        xyz = np.einsum("nji,nj->ni", Ri, p_world - o_world)
     else:
         d_world = d_sensor @ R0.T
         o_world = np.broadcast_to(t0, d_sensor.shape)

@@ -68,7 +68,13 @@ def oxts_record(pose, vel, omega, speed):
 
 
 def make_drive(out: str, n_scans: int = 40, radius: float = 4.0,
-               speed: float = 1.5, noise: float = 0.01, seed: int = 0):
+               speed: float = 1.5, noise: float = 0.01, seed: int = 0,
+               motion_skew: bool = True):
+    """motion_skew=True raycasts each scan with the drive's true angular
+    rate AND world velocity applied during the sweep (points land in the
+    instantaneous sensor frame, like a real spinning lidar on a moving
+    vehicle), so the pipeline's gyro deskew is exercised for real; False
+    writes rigid snapshots (no intra-scan motion)."""
     from feature_base_pointcloud_registration_tpu.io.synthetic import (
         SyntheticWorld, simulate_scan)
 
@@ -82,7 +88,10 @@ def make_drive(out: str, n_scans: int = 40, radius: float = 4.0,
     for k in range(n_scans):
         pose, vel, omega = drive_pose(k, n_scans, radius, speed)
         gt.append(pose)
-        s = simulate_scan(world, pose, noise=noise, seed=seed + k)
+        skew = (dict(spin_rpy_rate=np.array([0.0, 0.0, omega]),
+                     vel_world=np.array([vel[0], vel[1], 0.0]))
+                if motion_skew else {})
+        s = simulate_scan(world, pose, noise=noise, seed=seed + k, **skew)
         ok = s["valid"]
         arr = np.concatenate(
             [s["xyz"][ok], s["intensity"][ok, None]], -1).astype(np.float32)
