@@ -44,6 +44,12 @@ def main():
     ap.add_argument("--sensor", choices=["hdl64", "vlp16"], default=None,
                     help="lidar geometry (default: hdl64 for --data, "
                          "vlp16 for the generated drive)")
+    ap.add_argument("--no-deskew", action="store_true",
+                    help="skip the oxts IMU deskew-info path")
+    ap.add_argument("--spread", type=float, default=0.0, metavar="M",
+                    help="surf_min_planar_spread: reject surf plane fits "
+                         "whose 5-NN scatter is near-collinear (middle "
+                         "singular value < M meters); 0 = reference parity")
     args = ap.parse_args()
 
     from feature_base_pointcloud_registration_tpu import Params
@@ -72,14 +78,16 @@ def main():
     if sensor == "vlp16":
         geom = dict(n_rings=16, elev_min=-15.0, elev_max=15.0)
         params = Params(n_scan=16, map_corner_cap=8192, map_surf_cap=65536,
-                        mapping_process_interval=0.0)
+                        mapping_process_interval=0.0,
+                        surf_min_planar_spread=args.spread)
         max_points = 16 * 1800
     else:
         geom = dict(n_rings=64, elev_min=-24.9, elev_max=2.0)
         params = Params(n_scan=64, horizon_scan=1800, corner_cap=7680,
                         surf_cap=32768, sector_cap=304,
                         map_corner_cap=16384, map_surf_cap=131072,
-                        mapping_process_interval=0.0)
+                        mapping_process_interval=0.0,
+                        surf_min_planar_spread=args.spread)
         max_points = 1 << 17
 
     vdir = os.path.join(data_dir, "velodyne_points", "data")
@@ -104,7 +112,7 @@ def main():
         # imuHandler (ref: src/imageProjection.cpp:323-393)
         win = (imu["times"] >= t - 0.15) & (imu["times"] <= t + 0.15)
         dsk = None
-        if win.any():
+        if win.any() and not args.no_deskew:
             q = imu["quat"][win][0]
             # quat (x, y, z, w) -> rpy
             x, y, z, w = q

@@ -177,6 +177,12 @@ class Params:
     # see docs/ROUND_NOTES.md).
     register_grid_half_extent: Tuple[float, float, float] = (60.0, 60.0, 25.0)
     imu_attitude_weight: float = 0.05    # mapOptmization.h:1452
+    # Opt-in (0.0 = off = reference parity): minimum in-plane short-axis
+    # spread (sqrt of the middle eigenvalue of the 5-NN scatter, meters)
+    # for a surf plane fit to be accepted.  The reference's plane-validity
+    # check (mapOptmization.h:1182-1190) passes collinear same-ring 5-NN
+    # sets whose normals are arbitrary; those bias sparse-early-map SLAM.
+    surf_min_planar_spread: float = 0.0
 
     # --- TPU static-shape capacities (new; SURVEY.md §7 padding policy) ---
     max_points: int = 0          # 0 -> n_scan * horizon_scan

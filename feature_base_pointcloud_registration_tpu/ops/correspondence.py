@@ -125,7 +125,8 @@ def _corner_from_candidates(pts_world, valid, nn, sel, d5max):
     return coeff, resid, mask
 
 
-def surf_correspondence(pts_world, valid, knn_fn):
+def surf_correspondence(pts_world, valid, knn_fn, *,
+                        min_plane_spread: float = 0.0):
     """Point-to-plane coefficients for surface features.
 
     Plane fit solves A n = -1 over the 5 neighbors (ref :1169) via 3x3
@@ -135,17 +136,20 @@ def surf_correspondence(pts_world, valid, knn_fn):
     d2, nn = knn_fn(pts_world)                          # [N,5], [N,5,3]
     sel = jnp.ones(d2.shape, bool)                      # exact 5-NN: all
     return _surf_from_candidates(pts_world, valid, nn, sel,
-                                 jnp.max(d2, axis=-1))
+                                 jnp.max(d2, axis=-1),
+                                 min_plane_spread=min_plane_spread)
 
 
-def surf_correspondence_cand(pts_world, valid, cand_xyz, cand_valid):
+def surf_correspondence_cand(pts_world, valid, cand_xyz, cand_valid, *,
+                             min_plane_spread: float = 0.0):
     """Point-to-plane coefficients straight from a K-candidate set
     (rank-mask 5-NN selection + masked-sum plane fit; see select_smallest)."""
     diff = pts_world[:, None, :] - cand_xyz
     d2 = jnp.sum(diff * diff, axis=-1)
     d2 = jnp.where(cand_valid, d2, _BIG)
     sel, dmax = select_smallest(d2, 5)
-    return _surf_from_candidates(pts_world, valid, cand_xyz, sel, dmax)
+    return _surf_from_candidates(pts_world, valid, cand_xyz, sel, dmax,
+                                 min_plane_spread=min_plane_spread)
 
 
 def _householder_lstsq3(A, b):
@@ -191,8 +195,20 @@ def _householder_lstsq3(A, b):
     return jnp.stack([n0, n1, n2], axis=-1), jnp.abs(r00 * r11 * r22)
 
 
-def _surf_from_candidates(pts_world, valid, nn, sel, d5max):
-    """Shared plane-fit tail; sel selects exactly the 5-NN among nn's rows."""
+def _surf_from_candidates(pts_world, valid, nn, sel, d5max, *,
+                          min_plane_spread: float = 0.0):
+    """Shared plane-fit tail; sel selects exactly the 5-NN among nn's rows.
+
+    min_plane_spread (static, meters; 0 = off = reference parity) is an
+    opt-in collinearity gate the reference lacks: its plane-validity check
+    (all 5 pts within 0.2 m of the fit, ref src/mapOptmization.h:1182-1190)
+    PASSES 5-NN sets that are collinear (e.g. same-ring arcs in a sparse
+    early map), whose fitted normals are arbitrary in the plane orthogonal
+    to the line and bias the solve.  The gate requires the neighbor
+    scatter's middle singular value (sqrt of the middle eigenvalue of the
+    5-point covariance) — the in-plane short-axis extent — to reach
+    min_plane_spread before the correspondence is accepted.
+    """
     gate_nn = valid & (d5max < 1.0)
 
     selF = sel.astype(nn.dtype)[..., None]              # [N,K,1]
@@ -223,6 +239,15 @@ def _surf_from_candidates(pts_world, valid, nn, sel, d5max):
     s = 1.0 - 0.9 * jnp.abs(pd2) / jnp.sqrt(jnp.sqrt(jnp.maximum(sumsq, 1e-12)))
 
     mask = gate_nn & plane_valid & (s > 0.1)
+    if min_plane_spread > 0.0:
+        w = sel.astype(nn.dtype)                        # [N,K]
+        cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)      # [N]
+        mu = jnp.sum(nn * w[..., None], axis=1) / cnt[:, None]
+        d = (nn - mu[:, None, :]) * w[..., None]        # [N,K,3]
+        C = jnp.einsum("nki,nkj->nij", d, d) / cnt[:, None, None]
+        lam_mid = eigvals_sym3(C)[:, 1]                 # middle eigenvalue
+        mask = mask & (jnp.sqrt(jnp.maximum(lam_mid, 0.0))
+                       >= min_plane_spread)
     coeff = s[:, None] * jnp.stack([pa, pb, pc], axis=-1)
     resid = s * pd2
     coeff = jnp.where(mask[:, None], coeff, 0.0)

@@ -530,13 +530,15 @@ def register_scan_fast_grid(
 @partial(jax.jit, static_argnames=("half_extent", "cell_size",
                                    "corner_cell_cap", "surf_cell_cap",
                                    "max_iterations", "min_correspondences",
-                                   "edge_min_valid", "surf_min_valid"))
+                                   "edge_min_valid", "surf_min_valid",
+                                   "min_plane_spread"))
 def grid_register_step(local_map: FeatureMap, features: ScanFeatures, pose6,
                        *, half_extent, cell_size: float = 2.0,
                        corner_cell_cap: int = 16, surf_cell_cap: int = 64,
                        max_iterations: int = 30,
                        min_correspondences: int = 50, edge_min_valid: int = 10,
-                       surf_min_valid: int = 100) -> RegisterResult:
+                       surf_min_valid: int = 100,
+                       min_plane_spread: float = 0.0) -> RegisterResult:
     """Hash-grid build + scan-to-map solve as ONE jitted step.
 
     The single registration entry point shared by the localization and SLAM
@@ -578,6 +580,7 @@ def grid_register_step(local_map: FeatureMap, features: ScanFeatures, pose6,
         min_correspondences=min_correspondences,
         edge_min_valid=edge_min_valid,
         surf_min_valid=surf_min_valid,
+        min_plane_spread=min_plane_spread,
     )
 
 
@@ -595,6 +598,7 @@ def register_rounds_core(
     surf_min_valid: int = 100,
     converge_rot_deg: float = 0.05,
     converge_trans_cm: float = 0.05,
+    min_plane_spread: float = 0.0,
 ) -> RegisterResult:
     """Rounds-structured solve: (prefetch K candidates -> I candidate-GN
     iterations) x R, unconditionally.
@@ -653,7 +657,8 @@ def register_rounds_core(
             c_coeff, c_resid, c_mask = corner_correspondence_cand(
                 corner_w, features.corner_mask, cnn, ccv)
             s_coeff, s_resid, s_mask = surf_correspondence_cand(
-                surf_w, features.surf_mask, snn, scv)
+                surf_w, features.surf_mask, snn, scv,
+                min_plane_spread=min_plane_spread)
             coeff = jnp.concatenate([c_coeff, s_coeff], axis=0)
             resid = jnp.concatenate([c_resid, s_resid], axis=0)
             mask = jnp.concatenate([c_mask, s_mask], axis=0)

@@ -149,6 +149,7 @@ class LocalizationPipeline:
             min_correspondences=p.min_correspondences,
             edge_min_valid=p.edge_feature_min_valid_num,
             surf_min_valid=p.surf_feature_min_valid_num,
+            min_plane_spread=p.surf_min_planar_spread,
         )
         pose_fused = transform_update(
             res.pose6, imu_rpy, imu_avail,

@@ -689,6 +689,7 @@ class SlamPipeline:
                 min_correspondences=p.min_correspondences,
                 edge_min_valid=p.edge_feature_min_valid_num,
                 surf_min_valid=p.surf_feature_min_valid_num,
+                min_plane_spread=p.surf_min_planar_spread,
             )
             pose = transform_update(
                 res.pose6, jnp.asarray(imu_rpy), jnp.asarray(imu_avail),

@@ -173,3 +173,37 @@ def test_jax_gn_step_matches_reference_constants():
     assert bool(st2.is_degenerate)
     np.testing.assert_allclose(np.array(st2.pose6), GN_DEG_POSE_NEW,
                                atol=5e-4)
+
+
+def test_surf_planar_spread_gate():
+    """Opt-in collinearity gate (surf_min_planar_spread): a nearly-collinear
+    same-ring-arc 5-NN set passes the reference's plane-validity check (all
+    5 pts within 0.2 m of the fit) but carries an arbitrary normal; the
+    spread gate (middle singular value of the neighbor scatter) rejects it,
+    while a genuine 2-D plane patch survives.  Default 0.0 = gate off =
+    reference parity (the golden fixtures above pin that path)."""
+    # near-collinear arc ~5 m out (tiny z jitter so the fit is well-posed
+    # enough to pass detR, like real same-ring neighbors)
+    arc = np.stack([np.full(5, 5.0),
+                    np.linspace(-0.4, 0.4, 5),
+                    -1.0 + np.array([0.004, -0.003, 0.002, -0.004, 0.001])],
+                   -1)
+    q_arc = arc.mean(0) + np.array([0.0, 0.0, 0.02])
+    # genuine plane patch: spread in x and y, constant z
+    patch = np.array([[4.7, -0.3, -1.0], [5.3, -0.3, -1.0], [5.0, 0.0, -1.0],
+                      [4.7, 0.3, -1.0], [5.3, 0.3, -1.0]])
+    q_patch = np.array([5.0, 0.1, -0.95])
+
+    for nn, q in ((arc, q_arc), (patch, q_patch)):
+        cand = jnp.asarray(nn, jnp.float32)[None]
+        qj = jnp.asarray(q, jnp.float32)[None]
+        _, _, m_off = surf_correspondence_cand(
+            qj, jnp.asarray([True]), cand, jnp.ones((1, 5), bool))
+        _, _, m_on = surf_correspondence_cand(
+            qj, jnp.asarray([True]), cand, jnp.ones((1, 5), bool),
+            min_plane_spread=0.05)
+        if nn is arc:
+            assert bool(m_off[0])       # reference accepts the collinear set
+            assert not bool(m_on[0])    # spread gate rejects it
+        else:
+            assert bool(m_off[0]) and bool(m_on[0])
