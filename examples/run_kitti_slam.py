@@ -46,6 +46,13 @@ def main():
                          "vlp16 for the generated drive)")
     ap.add_argument("--no-deskew", action="store_true",
                     help="skip the oxts IMU deskew-info path")
+    ap.add_argument("--pos-deskew", action="store_true",
+                    help="also correct intra-scan TRANSLATION from the oxts "
+                         "body velocity (the reference stubs findPosition to "
+                         "zero — src/imageProjection.cpp:528-542)")
+    ap.add_argument("--no-attitude", action="store_true",
+                    help="deskew only: do not feed the oxts attitude into "
+                         "the initial-guess / attitude-fusion policies")
     ap.add_argument("--spread", type=float, default=0.0, metavar="M",
                     help="surf_min_planar_spread: reject surf plane fits "
                          "whose 5-NN scatter is near-collinear (middle "
@@ -113,7 +120,10 @@ def main():
         win = (imu["times"] >= t - 0.15) & (imu["times"] <= t + 0.15)
         dsk = None
         if win.any() and not args.no_deskew:
-            q = imu["quat"][win][0]
+            # attitude from the sample NEAREST the scan start (the first
+            # sample in the window can be 0.1 s stale on 10 Hz oxts)
+            ni = int(np.argmin(np.abs(imu["times"] - t)))
+            q = imu["quat"][ni]
             # quat (x, y, z, w) -> rpy
             x, y, z, w = q
             rpy0 = np.array([
@@ -121,9 +131,18 @@ def main():
                 np.arcsin(np.clip(2 * (w * y - z * x), -1, 1)),
                 np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))],
                 np.float32)
+            # positional deskew: scan-duration translation increment in the
+            # scan-start body frame, straight from the oxts body velocity
+            incre = (imu["vel"][ni] * 0.1 if args.pos_deskew else None)
             dsk = make_deskew_info(params, imu["times"][win],
                                    imu["gyr"][win], t, t + 0.1,
-                                   imu_rpy=rpy0)
+                                   imu_rpy=(None if args.no_attitude
+                                            else rpy0),
+                                   odom_incre=incre,
+                                   odom_deskew_flag=args.pos_deskew)
+            if args.no_attitude:
+                import jax.numpy as _jnp
+                dsk = dsk._replace(imu_available=_jnp.asarray(False))
         if args.gps and len(gps["times"]):
             gi = int(np.argmin(np.abs(gps["times"] - t)))
             if abs(gps["times"][gi] - t) < 0.05:

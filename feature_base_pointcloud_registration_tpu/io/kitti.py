@@ -200,20 +200,24 @@ def load_oxts_imu(oxts_dir: str):
     (af, al, au — oxts fields 14-16), body-frame rates (wf, wl, wu —
     fields 20-22), orientation quaternion from (roll, pitch, yaw).
 
-    Returns dict(times [N], acc [N,3], gyr [N,3], quat [N,4]) — raw
-    IMU-frame samples for LioTopology.handle_imu.
+    Returns dict(times [N], acc [N,3], gyr [N,3], quat [N,4],
+    vel [N,3]) — raw IMU-frame samples for LioTopology.handle_imu; vel is
+    the body-frame (forward, left, up) velocity (oxts fields 8-10), the
+    velocity source for positional deskew.
     """
     data, times = _read_oxts(oxts_dir)
     if not len(data):
         return {"times": np.zeros(0), "acc": np.zeros((0, 3), np.float32),
                 "gyr": np.zeros((0, 3), np.float32),
-                "quat": np.zeros((0, 4), np.float32)}
+                "quat": np.zeros((0, 4), np.float32),
+                "vel": np.zeros((0, 3), np.float32)}
     return {
         "times": times,
         "acc": data[:, 14:17].astype(np.float32),
         "gyr": data[:, 20:23].astype(np.float32),
         "quat": _quat_from_euler_np(
             data[:, 3], data[:, 4], data[:, 5]).astype(np.float32),
+        "vel": data[:, 8:11].astype(np.float32),
     }
 
 

@@ -77,8 +77,14 @@ def deskew_points(xyz, rel_time, deskew_info: DeskewInfo, first_idx=None,
 
     if scan_duration is not None:
         ratio = rel_time / jnp.maximum(scan_duration, 1e-9)
+        # gate on the flag alone: odom_deskew_flag already means "the
+        # translation increment is valid" (OdomQueue sets it only when both
+        # bracketing odoms exist, ref :449-471); odom_available separately
+        # gates the initial-guess policy, and a caller may have a velocity
+        # source for deskew without a pose source for guesses (e.g. oxts
+        # body velocity in examples/run_kitti_slam.py --pos-deskew)
         pos = jnp.where(
-            deskew_info.odom_deskew_flag & deskew_info.odom_available,
+            deskew_info.odom_deskew_flag,
             ratio[:, None] * deskew_info.odom_incre[None, :],
             0.0,
         )
