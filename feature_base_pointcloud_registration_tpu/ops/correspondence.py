@@ -22,11 +22,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .eig3 import eigvals_sym3, principal_eigvec_sym3
 
 _PREC = jax.lax.Precision.HIGHEST
-_BIG = jnp.float32(3.0e38)
+_BIG = np.float32(3.0e38)  # numpy, NOT jnp: module import may happen inside a jit
+# trace (lazy in-function imports); a jnp scalar created there is a leaked
+# tracer captured as this global forever (the round-3..5 order-dependent
+# INVALID_ARGUMENT executable-cache wart).  numpy scalars never trace.
 
 
 def select_smallest(d2, k: int):

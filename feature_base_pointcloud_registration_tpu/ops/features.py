@@ -31,13 +31,14 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..config import Params
 from ..pipeline.cloud_info import CloudInfo, ScanFeatures
 from .voxel import voxel_downsample
 
-_INF = jnp.float32(jnp.inf)
+_INF = np.float32(np.inf)  # numpy, not jnp: see ops/hashgrid.py _BIG
 
 # stride fast-forward for the strict surf MIS (see mis() below); module
 # flag so tests can A/B the plain rounds against the accelerated path

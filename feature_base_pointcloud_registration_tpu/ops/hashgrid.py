@@ -26,12 +26,16 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from jax import lax
 
 from .knn import _extract_topk
 
-_BIG = jnp.float32(3.0e38)
+_BIG = np.float32(3.0e38)  # numpy, NOT jnp: module import may happen inside a jit
+# trace (lazy in-function imports); a jnp scalar created there is a leaked
+# tracer captured as this global forever (the round-3..5 order-dependent
+# INVALID_ARGUMENT executable-cache wart).  numpy scalars never trace.
 
 
 def _topk_small(d2, k: int):
@@ -360,7 +364,7 @@ def grid_overflow_fraction(pts, mask, origin, cell_size, *, dims, cell_cap):
 # all-sentinel row (n_cells).
 # ---------------------------------------------------------------------------
 
-_FAR = jnp.float32(1.0e9)
+_FAR = np.float32(1.0e9)  # numpy, not jnp: see _BIG
 
 
 def build_grid_sentinel_core(pts, mask, origin, cell_size, *, dims, cell_cap):

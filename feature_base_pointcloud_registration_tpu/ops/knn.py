@@ -24,9 +24,13 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-_BIG = jnp.float32(3.0e38)
+_BIG = np.float32(3.0e38)  # numpy, NOT jnp: module import may happen inside a jit
+# trace (lazy in-function imports); a jnp scalar created there is a leaked
+# tracer captured as this global forever (the round-3..5 order-dependent
+# INVALID_ARGUMENT executable-cache wart).  numpy scalars never trace.
 
 
 def _extract_topk(d2, k: int):

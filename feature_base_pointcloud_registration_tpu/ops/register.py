@@ -550,6 +550,15 @@ def grid_register_step(local_map: FeatureMap, features: ScanFeatures, pose6,
     reference's SLAM path KD-searches the full surrounding map) and
     strictly contains the localization crop box (ref :286, nothing exists
     outside it) — one box, one compiled executable.
+
+    History note: this function used to trip a once-per-process
+    INVALID_ARGUMENT ("Execution supplied 9 buffers but compiled program
+    expected 17") when traced after other registration code had run.  The
+    cause was NOT here: the lazy in-function `from .hashgrid import` below
+    means hashgrid can be first-imported INSIDE a jit trace, and hashgrid's
+    module-level scalars, when built with jnp, were created as tracers and
+    leaked into every later trace as lifted constants.  Fixed by making
+    those module constants numpy (ops/hashgrid.py _BIG/_FAR).
     """
     from .hashgrid import (build_grid_sentinel_core, default_grid_spec,
                            grid_origin)
@@ -599,6 +608,7 @@ def register_rounds_core(
     converge_rot_deg: float = 0.05,
     converge_trans_cm: float = 0.05,
     min_plane_spread: float = 0.0,
+    vary=0.0,
 ) -> RegisterResult:
     """Rounds-structured solve: (prefetch K candidates -> I candidate-GN
     iterations) x R, unconditionally.
@@ -616,7 +626,10 @@ def register_rounds_core(
     n_surf = jnp.sum(features.surf_mask).astype(jnp.int32)
     gate = (n_edge > edge_min_valid) & (n_surf > surf_min_valid)
 
-    pose0 = jnp.asarray(init_pose6, jnp.float32)
+    # `vary` ties constant-initialized carry fields to (possibly sharded)
+    # inputs so the loop's varying-manual-axes check passes under shard_map
+    # with map-sharded fetch closures (see parallel/map_sharded.py).
+    pose0 = jnp.asarray(init_pose6, jnp.float32) + vary
     vary = pose0.sum() * 0.0
     init = GNState(
         pose6=pose0,

@@ -17,8 +17,10 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_KEY_MAX = jnp.int32(2**30)
+_KEY_MAX = np.int32(2**30)  # numpy, not jnp: module-level jnp constants can
+# capture tracers when the module is first imported inside a jit trace
 
 
 @partial(jax.jit, static_argnames=("cap",))
