@@ -31,7 +31,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BIG = jnp.float32(3.0e38)
+_BIG = np.float32(3.0e38)  # numpy, NOT jnp: module import may happen inside a jit
+# trace (lazy in-function imports); a jnp scalar created there is a leaked
+# tracer captured as this global forever (the round-3..5 order-dependent
+# INVALID_ARGUMENT executable-cache wart).  numpy scalars never trace.
 _FAR = 1.0e9
 
 _WAVE = int(os.environ.get('FBPR_FETCH_WAVE', '128'))  # rows per DMA wave (double-buffered)
@@ -244,14 +247,16 @@ def _fetch_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, bcv_ref, table_ref,
     lax.fori_loop(0, n_waves, wave_body, jnp.int32(0), unroll=False)
 
 
-@partial(jax.jit, static_argnames=("W", "K"))
-def fused_block_fetch(table_planar, bcell, query, *, W: int, K: int = 8):
+@partial(jax.jit, static_argnames=("W", "K", "vma"))
+def fused_block_fetch(table_planar, bcell, query, *, W: int, K: int = 8,
+                      vma: tuple = ()):
     """query [Q,3], bcell [Q] int32 row ids -> (d2 [Q,K], nn [Q,K,3]).
 
     Q must be a multiple of 256 (pad queries; point padded bcell rows at the
     sentinel row).  W = candidates per block row = table_planar.shape[1]
     // 3 * 128 (8*cell_cap uncompacted, the packed row width otherwise);
     table_planar from build_block_table_planar ([rows, 3*W/128, 128]).
+    vma: mesh axes the outputs vary over (shard_map check_vma support).
     """
     Q = query.shape[0]
     assert Q % _TILE == 0, Q
@@ -290,10 +295,14 @@ def fused_block_fetch(table_planar, bcell, query, *, W: int, K: int = 8):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Q, K), jnp.float32),
-            jax.ShapeDtypeStruct((Q, K), jnp.float32),
-            jax.ShapeDtypeStruct((Q, K), jnp.float32),
-            jax.ShapeDtypeStruct((Q, K), jnp.float32),
+            jax.ShapeDtypeStruct((Q, K), jnp.float32,
+                                 vma=frozenset(vma) if vma else None),
+            jax.ShapeDtypeStruct((Q, K), jnp.float32,
+                                 vma=frozenset(vma) if vma else None),
+            jax.ShapeDtypeStruct((Q, K), jnp.float32,
+                                 vma=frozenset(vma) if vma else None),
+            jax.ShapeDtypeStruct((Q, K), jnp.float32,
+                                 vma=frozenset(vma) if vma else None),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, _WAVE, 3 * S3, 128), jnp.float32),
@@ -414,8 +423,9 @@ def _resident_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, table_ref,
             nnz_ref[qsl, :] = jnp.concatenate(zs_, axis=1)
 
 
-@partial(jax.jit, static_argnames=("W", "K"))
-def fused_resident_fetch(table_compact, bcell, query, *, W: int, K: int = 8):
+@partial(jax.jit, static_argnames=("W", "K", "vma"))
+def fused_resident_fetch(table_compact, bcell, query, *, W: int, K: int = 8,
+                         vma: tuple = ()):
     """Resident-table variant of fused_block_fetch: same contract, but
     `table_compact` (from compact_row_space) lives whole in VMEM and
     `bcell` holds COMPACT row ids (route through PlanarTable.rows_index)."""
@@ -453,10 +463,14 @@ def fused_resident_fetch(table_compact, bcell, query, *, W: int, K: int = 8):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Q, K), jnp.float32),
-            jax.ShapeDtypeStruct((Q, K), jnp.float32),
-            jax.ShapeDtypeStruct((Q, K), jnp.float32),
-            jax.ShapeDtypeStruct((Q, K), jnp.float32),
+            jax.ShapeDtypeStruct((Q, K), jnp.float32,
+                                 vma=frozenset(vma) if vma else None),
+            jax.ShapeDtypeStruct((Q, K), jnp.float32,
+                                 vma=frozenset(vma) if vma else None),
+            jax.ShapeDtypeStruct((Q, K), jnp.float32,
+                                 vma=frozenset(vma) if vma else None),
+            jax.ShapeDtypeStruct((Q, K), jnp.float32,
+                                 vma=frozenset(vma) if vma else None),
         ],
     )(bcell[:, None], query[:, 0:1], query[:, 1:2], query[:, 2:3],
       table_compact)

@@ -119,6 +119,32 @@ def _jacobi6(a, sweeps: int = 6):
     return [A[(i, i)] for i in range(6)], V
 
 
+def _sym3_lam_max_mid(a00, a01, a02, a11, a12, a22):
+    """Largest + middle eigenvalue of a symmetric 3x3 in plane layout:
+    trigonometric Cardano spectrum (ops/eig3.eigvals_sym3 port)."""
+    q = (a00 + a11 + a22) / 3.0
+    b00 = a00 - q
+    b11 = a11 - q
+    b22 = a22 - q
+    p2 = (b00 * b00 + b11 * b11 + b22 * b22
+          + 2.0 * (a01 * a01 + a02 * a02 + a12 * a12))
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    p_safe = jnp.where(p > 1e-12, p, 1.0)
+    c00 = b11 * b22 - a12 * a12
+    c01 = a01 * b22 - a12 * a02
+    c02 = a01 * a12 - b11 * a02
+    detB = b00 * c00 - a01 * c01 + a02 * c02
+    r = jnp.clip(detB / (2.0 * p_safe * p_safe * p_safe), -1.0, 1.0)
+    phi = _arccos(r) / 3.0
+    l2 = q + 2.0 * p * jnp.cos(phi)                        # largest
+    l0 = q + 2.0 * p * jnp.cos(phi + 2.0 * _PI / 3.0)      # smallest
+    l1 = 3.0 * q - l0 - l2
+    near_diag = p <= 1e-12
+    lam_max = jnp.where(near_diag, q, l2)
+    lam_mid = jnp.where(near_diag, q, l1)
+    return lam_max, lam_mid
+
+
 def _corr_corner(fx, fy, fz, fm, cand, xw, yw, zw, K):
     """Corner point-to-line coefficients, plane layout.
 
@@ -164,27 +190,7 @@ def _corr_corner(fx, fy, fz, fm, cand, xw, yw, zw, K):
     a12 = jnp.sum(dvy * dvz, axis=0, keepdims=True) / 5.0
     a22 = jnp.sum(dvz * dvz, axis=0, keepdims=True) / 5.0
 
-    # trigonometric Cardano spectrum (ops/eig3.eigvals_sym3 port)
-    q = (a00 + a11 + a22) / 3.0
-    b00 = a00 - q
-    b11 = a11 - q
-    b22 = a22 - q
-    p2 = (b00 * b00 + b11 * b11 + b22 * b22
-          + 2.0 * (a01 * a01 + a02 * a02 + a12 * a12))
-    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
-    p_safe = jnp.where(p > 1e-12, p, 1.0)
-    c00 = b11 * b22 - a12 * a12
-    c01 = a01 * b22 - a12 * a02
-    c02 = a01 * a12 - b11 * a02
-    detB = b00 * c00 - a01 * c01 + a02 * c02
-    r = jnp.clip(detB / (2.0 * p_safe * p_safe * p_safe), -1.0, 1.0)
-    phi = _arccos(r) / 3.0
-    l2 = q + 2.0 * p * jnp.cos(phi)                        # largest
-    l0 = q + 2.0 * p * jnp.cos(phi + 2.0 * _PI / 3.0)      # smallest
-    l1 = 3.0 * q - l0 - l2
-    near_diag = p <= 1e-12
-    lam_max = jnp.where(near_diag, q, l2)
-    lam_mid = jnp.where(near_diag, q, l1)
+    lam_max, lam_mid = _sym3_lam_max_mid(a00, a01, a02, a11, a12, a22)
     gate_line = jnp.where(lam_max > 3.0 * lam_mid, 1.0, 0.0)
 
     # principal eigenvector: largest cross product of rows of (A - lam I)
@@ -256,9 +262,17 @@ def _corr_corner(fx, fy, fz, fm, cand, xw, yw, zw, K):
     return ca, cb, cc, resid, maskf
 
 
-def _corr_surf(fx, fy, fz, fm, cand, xw, yw, zw, K):
+def _corr_surf(fx, fy, fz, fm, cand, xw, yw, zw, K,
+               min_plane_spread: float = 0.0):
     """Surface point-to-plane coefficients, plane layout.  Port of
-    correspondence._surf_from_candidates (Householder least squares)."""
+    correspondence._surf_from_candidates (Householder least squares).
+
+    min_plane_spread (static, meters; 0 = off = reference parity) ports the
+    opt-in collinearity gate: the reference's plane-validity check (all 5
+    pts within 0.2 m of the fit, ref src/mapOptmization.h:1182-1190) passes
+    collinear 5-NN sets whose normals are arbitrary; the gate requires the
+    5-NN scatter's middle singular value (sqrt of the middle eigenvalue of
+    the 5-point covariance) to reach min_plane_spread."""
     snx = cand[0 * K:1 * K, :]
     sny = cand[1 * K:2 * K, :]
     snz = cand[2 * K:3 * K, :]
@@ -352,6 +366,25 @@ def _corr_surf(fx, fy, fz, fm, cand, xw, yw, zw, K):
     s = 1.0 - 0.9 * jnp.abs(pd2) / jnp.sqrt(
         jnp.sqrt(jnp.maximum(sumsq, 1e-12)))
     maskf = gate_nn * plane_ok * jnp.where(s > 0.1, 1.0, 0.0)
+    if min_plane_spread > 0.0:
+        # 5-NN scatter covariance over the selected rows (exactly 5 picked)
+        mx = jnp.sum(snx * sel, axis=0, keepdims=True) / 5.0
+        my = jnp.sum(sny * sel, axis=0, keepdims=True) / 5.0
+        mz = jnp.sum(snz * sel, axis=0, keepdims=True) / 5.0
+        cdx = (snx - mx) * sel
+        cdy = (sny - my) * sel
+        cdz = (snz - mz) * sel
+        a00 = jnp.sum(cdx * cdx, axis=0, keepdims=True) / 5.0
+        a01 = jnp.sum(cdx * cdy, axis=0, keepdims=True) / 5.0
+        a02 = jnp.sum(cdx * cdz, axis=0, keepdims=True) / 5.0
+        a11 = jnp.sum(cdy * cdy, axis=0, keepdims=True) / 5.0
+        a12 = jnp.sum(cdy * cdz, axis=0, keepdims=True) / 5.0
+        a22 = jnp.sum(cdz * cdz, axis=0, keepdims=True) / 5.0
+        _, lam_mid = _sym3_lam_max_mid(a00, a01, a02, a11, a12, a22)
+        spread_ok = jnp.where(
+            jnp.sqrt(jnp.maximum(lam_mid, 0.0)) >= min_plane_spread,
+            1.0, 0.0)
+        maskf = maskf * spread_ok
     ca = s * pa * maskf
     cb = s * pb * maskf
     cc = s * pc * maskf
@@ -363,7 +396,8 @@ def _gn_round_kernel(stat_ref, matP_ref, featc_ref, feats_ref,
                      candc_ref, cands_ref, stat_out, matP_out, mp_ref,
                      *, K: int, iters: int, min_corr: int,
                      eig_thresh: float, conv_rot_deg: float,
-                     conv_trans_cm: float, jacobi_sweeps: int):
+                     conv_trans_cm: float, jacobi_sweeps: int,
+                     min_plane_spread: float):
     """One grid program = one scan lane = one full solve round."""
     b = pl.program_id(0)
     for j in range(STAT):
@@ -439,7 +473,8 @@ def _gn_round_kernel(stat_ref, matP_ref, featc_ref, feats_ref,
             cca, ccb, ccc, cres, cmask = _corr_corner(
                 fcx, fcy, fcz, fcm, candc, cxw, cyw, czw, K)
             sca, scb, scc, sres, smask = _corr_surf(
-                fsx, fsy, fsz, fsm, cands, sxw, syw, szw, K)
+                fsx, fsy, fsz, fsm, cands, sxw, syw, szw, K,
+                min_plane_spread=min_plane_spread)
 
             # rotation factor derivatives (ops/solver._rotation_derivatives)
             dRr = ((0.0, cy * sp * cr + sy * sr, -cy * sp * sr + sy * cr),
@@ -553,17 +588,24 @@ def _gn_round_kernel(stat_ref, matP_ref, featc_ref, feats_ref,
 @functools.partial(
     jax.jit, static_argnames=("K", "iters", "min_corr", "eig_thresh",
                               "conv_rot_deg", "conv_trans_cm",
-                              "jacobi_sweeps", "interpret"))
+                              "jacobi_sweeps", "min_plane_spread",
+                              "interpret", "vma"))
 def gn_round_pallas(stat, matP, featc, feats, candc, cands, *, K: int,
                     iters: int, min_corr: int = 50,
                     eig_thresh: float = 100.0, conv_rot_deg: float = 0.05,
                     conv_trans_cm: float = 0.05, jacobi_sweeps: int = 6,
-                    interpret: bool | None = None):
+                    min_plane_spread: float = 0.0,
+                    interpret: bool | None = None,
+                    vma: tuple = ()):
     """Run one solve round (iters GN iterations) for every lane.
 
     stat [B,16], matP [B,36] (see STAT slots); featc [B,4,Pc] / feats
     [B,4,Ps] feature planes (x,y,z,mask rows); candc [B,3K,Pc] / cands
     [B,3K,Ps] candidate planes.  Returns (stat', matP').
+
+    vma: mesh axis names the outputs vary over — required when calling
+    inside shard_map(check_vma=True), where pallas outputs must declare
+    their varying-manual-axes (jax.ShapeDtypeStruct(vma=...)).
     """
     B, _, Pc = featc.shape
     Ps = feats.shape[2]
@@ -572,7 +614,8 @@ def gn_round_pallas(stat, matP, featc, feats, candc, cands, *, K: int,
     kern = functools.partial(
         _gn_round_kernel, K=K, iters=iters, min_corr=min_corr,
         eig_thresh=eig_thresh, conv_rot_deg=conv_rot_deg,
-        conv_trans_cm=conv_trans_cm, jacobi_sweeps=jacobi_sweeps)
+        conv_trans_cm=conv_trans_cm, jacobi_sweeps=jacobi_sweeps,
+        min_plane_spread=min_plane_spread)
     return pl.pallas_call(
         kern,
         interpret=interpret,
@@ -594,8 +637,10 @@ def gn_round_pallas(stat, matP, featc, feats, candc, cands, *, K: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, STAT), jnp.float32),
-            jax.ShapeDtypeStruct((B, 36), jnp.float32),
+            jax.ShapeDtypeStruct((B, STAT), jnp.float32,
+                                 vma=frozenset(vma) if vma else None),
+            jax.ShapeDtypeStruct((B, 36), jnp.float32,
+                                 vma=frozenset(vma) if vma else None),
         ],
         scratch_shapes=[pltpu.VMEM((8, 8), jnp.float32)],
     )(stat, matP, featc, feats, candc, cands)

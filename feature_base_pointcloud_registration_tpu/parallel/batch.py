@@ -290,14 +290,15 @@ def batch_register_pallas(features: ScanFeatures, corner_planar, surf_planar,
                                    "corner_cell_cap", "surf_cell_cap",
                                    "num_rounds", "iters_per_round",
                                    "num_candidates", "edge_min_valid",
-                                   "surf_min_valid"))
+                                   "surf_min_valid", "min_plane_spread"))
 def batch_register_blocks(features: ScanFeatures, corner_block, surf_block,
                           origin, init_poses, *, grid_dims,
                           cell_size: float = 2.0, corner_cell_cap: int = 16,
                           surf_cell_cap: int = 64,
                           num_rounds: int = 2, iters_per_round: int = 15,
                           num_candidates: int = 8, edge_min_valid: int = 10,
-                          surf_min_valid: int = 100) -> RegisterResult:
+                          surf_min_valid: int = 100,
+                          min_plane_spread: float = 0.0) -> RegisterResult:
     """Fastest batched path: block-table fetch + rounds-structured solve.
 
     num_candidates=8 matches the exact solver to <1 mm (candidates refresh
@@ -316,7 +317,8 @@ def batch_register_blocks(features: ScanFeatures, corner_block, surf_block,
         lambda f, p: register_rounds_core(
             f, cfetch, sfetch, p,
             num_rounds=num_rounds, iters_per_round=iters_per_round,
-            edge_min_valid=edge_min_valid, surf_min_valid=surf_min_valid),
+            edge_min_valid=edge_min_valid, surf_min_valid=surf_min_valid,
+            min_plane_spread=min_plane_spread),
         in_axes=(0, 0),
     )
     return fn(features, init_poses)
@@ -329,7 +331,8 @@ def batch_register_blocks(features: ScanFeatures, corner_block, surf_block,
                                    "edge_min_valid", "surf_min_valid",
                                    "shared_fetch", "skip_converged_refetch",
                                    "presort_rows", "round1_surf_stride",
-                                   "round1_corner_stride"))
+                                   "round1_corner_stride",
+                                   "min_plane_spread", "shard_axes"))
 def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
                          origin, init_poses, *, grid_dims,
                          cell_size: float = 2.0, corner_cell_cap: int = 16,
@@ -342,7 +345,9 @@ def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
                          skip_converged_refetch: bool = False,
                          presort_rows: bool = False,
                          round1_surf_stride: int = 1,
-                         round1_corner_stride: int = 1) -> RegisterResult:
+                         round1_corner_stride: int = 1,
+                         min_plane_spread: float = 0.0,
+                         shard_axes: tuple = ()) -> RegisterResult:
     """Fused-kernel batched solve: Pallas fetch + Pallas GN-round kernel.
 
     Two kernels per round (candidate fetch, full GN iteration loop) instead
@@ -373,9 +378,10 @@ def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
         if isinstance(planar, PlanarTable):
             return fused_resident_fetch(
                 planar.table, planar.rows_index[bc], w,
-                W=planar.table.shape[1] // 3 * 128, K=K)
+                W=planar.table.shape[1] // 3 * 128, K=K, vma=shard_axes)
         return fused_block_fetch(planar, bc, w,
-                                 W=planar.shape[1] // 3 * 128, K=K)
+                                 W=planar.shape[1] // 3 * 128, K=K,
+                                 vma=shard_axes)
 
     # Per-lane presort of features by their block row at the initial pose:
     # the solver is permutation-invariant per lane, and row-sorted queries
@@ -527,7 +533,8 @@ def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
         fc, fs = (featc0, featsp0) if r == 0 else (featc, featsp)
         stat, matP = gn_round_pallas(
             stat, matP, fc, fs, candc, cands, K=K,
-            iters=iters_seq[r], min_corr=min_correspondences)
+            iters=iters_seq[r], min_corr=min_correspondences,
+            min_plane_spread=min_plane_spread, vma=shard_axes)
 
     return RegisterResult(
         pose6=stat[:, 0:6],
@@ -550,8 +557,20 @@ def make_shard_register_tables(mesh: Mesh, *, grid_dims,
     """
     solve = {"fused": batch_register_fused,
              "blocks": batch_register_blocks}[solver]
+    if solver == "fused":
+        # shard_map(check_vma=True) requires pallas outputs to declare
+        # their varying-manual-axes (jax.ShapeDtypeStruct(vma=...)); the
+        # fused solver threads this down to every pallas_call it makes, so
+        # the vma check — a real guardrail on the v5p-8 deployment
+        # wrapper — stays ON for the fused kernel too.
+        solve_kw = dict(solve_kw, shard_axes=(axis_name,))
 
     def local_fn(f, ct, st, org, p):
+        # replicated operands (tables, origin) feed kernels whose outputs
+        # vary over the data axis; pvary is the sanctioned cast.
+        if solver == "fused":
+            ct, st, org = jax.tree.map(
+                lambda a: jax.lax.pvary(a, (axis_name,)), (ct, st, org))
         res = solve(f, ct, st, org, p, grid_dims=grid_dims, **solve_kw)
         n_conv = jax.lax.psum(jnp.sum(res.converged.astype(jnp.int32)),
                               axis_name)
@@ -572,10 +591,6 @@ def make_shard_register_tables(mesh: Mesh, *, grid_dims,
                            P(axis_name), P(axis_name), P(axis_name)),
             {"n_converged": P(), "n_total": P(), "mean_iterations": P()},
         ),
-        # pallas_call outputs carry no varying-manual-axes metadata, so the
-        # vma check rejects the fused kernel under shard_map; the blocks
-        # path keeps the check.
-        check_vma=(solver != "fused"),
     )
     return jax.jit(fn)
 

@@ -215,6 +215,106 @@ def test_gn_kernel_matches_rounds_core_same_candidates():
         assert abs(nk - nr) <= 0.05 * nr + 10, (ref_ncorr, krn_ncorr)
 
 
+def test_spread_gate_kernel_parity():
+    """min_plane_spread in the FUSED kernel: parity with
+    register_rounds_core(min_plane_spread=...) on identical candidates, and
+    the gate actually fires (a noisy collinear surf string in the map whose
+    5-NN sets pass the reference's 0.2-m plane check but have middle
+    singular value ~ noise << threshold).
+
+    Strengthens the plane validity check of ref src/mapOptmization.h:1182-
+    1190 on the flagship Pallas path (round-4 gap: XLA-only knob).
+    """
+    B_, PC_, PS_, K, ITERS = 1, 128, 128, 6, 5
+    SPREAD = 0.05
+    r = np.random.RandomState(11)
+
+    # corner map: vertical lines (healthy corner correspondences)
+    n_lines = 10
+    xy = r.uniform(-4, 4, (n_lines, 2))
+    li = r.randint(0, n_lines, 1024)
+    mc = np.stack([xy[li, 0], xy[li, 1],
+                   r.uniform(-1, 3, 1024)], -1).astype(np.float32)
+    # surf map: ground plane + wall + a NOISY COLLINEAR STRING at z=0.5
+    # (elevated so string queries' 5-NN are string points only)
+    gx, gy = np.meshgrid(np.linspace(-5, 5, 30), np.linspace(-5, 5, 30))
+    ground = np.stack([gx.ravel(), gy.ravel(),
+                       np.full(gx.size, -1.5)], -1)
+    wx, wz = np.meshgrid(np.linspace(-5, 5, 12), np.linspace(-1, 2, 8))
+    wall = np.stack([wx.ravel(), np.full(wx.size, 5.0), wz.ravel()], -1)
+    string = np.stack([np.linspace(-4, 4, 64), np.zeros(64),
+                       np.full(64, 0.5)], -1)
+    string += r.normal(0, 0.02, string.shape)   # nearly collinear
+    ms = np.concatenate([ground, wall, string]).astype(np.float32)
+    n_string0 = ground.shape[0] + wall.shape[0]
+
+    from feature_base_pointcloud_registration_tpu.io.synthetic import (
+        pose6_to_matrix_np)
+
+    gt = np.array([0.0, -0.01, 0.02, 0.1, -0.1, 0.0], np.float32)
+    guess = gt + np.array([0.008, -0.004, 0.008, 0.05, -0.04, 0.02],
+                          np.float32)
+    T = np.linalg.inv(pose6_to_matrix_np(gt))
+    ci = r.choice(mc.shape[0], PC_, replace=False)
+    # surf features: mostly plane/wall, 16 forced string points
+    si = np.concatenate([
+        r.choice(n_string0, PS_ - 16, replace=False),
+        n_string0 + r.choice(64, 16, replace=False)])
+    cw = mc[ci] + r.normal(0, 0.01, (PC_, 3))
+    sw = ms[si] + r.normal(0, 0.005, (PS_, 3))
+    fcb = (cw @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+    fsb = (sw @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+
+    def knn(q, pts):
+        d2 = ((q[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :K]
+        return (np.take_along_axis(d2, idx, 1).astype(np.float32),
+                pts[idx].astype(np.float32))
+
+    Rg = pose6_to_matrix_np(guess)
+    cd, cnn = knn(fcb @ Rg[:3, :3].T + Rg[:3, 3], mc)
+    sd, snn = knn(fsb @ Rg[:3, :3].T + Rg[:3, 3], ms)
+
+    feats1 = ScanFeatures(
+        corner_xyz=jnp.asarray(fcb), corner_mask=jnp.ones(PC_, bool),
+        surf_xyz=jnp.asarray(fsb), surf_mask=jnp.ones(PS_, bool))
+
+    def core(spread):
+        return register_rounds_core(
+            feats1,
+            lambda w: (jnp.asarray(cd), jnp.asarray(cnn)),
+            lambda w: (jnp.asarray(sd), jnp.asarray(snn)),
+            jnp.asarray(guess),
+            num_rounds=1, iters_per_round=ITERS, min_plane_spread=spread)
+
+    res_off = core(0.0)
+    res_on = core(SPREAD)
+    # the gate must actually remove the string correspondences
+    assert int(res_on.n_corr) <= int(res_off.n_corr) - 10, (
+        int(res_on.n_corr), int(res_off.n_corr))
+
+    featc = jnp.concatenate([jnp.asarray(fcb.T),
+                             jnp.ones((1, PC_), jnp.float32)])[None]
+    featsp = jnp.concatenate([jnp.asarray(fsb.T),
+                              jnp.ones((1, PS_), jnp.float32)])[None]
+    candc = jnp.asarray(np.transpose(cnn.reshape(1, PC_, K, 3),
+                                     (0, 3, 2, 1)).reshape(1, 3 * K, PC_))
+    cands = jnp.asarray(np.transpose(snn.reshape(1, PS_, K, 3),
+                                     (0, 3, 2, 1)).reshape(1, 3 * K, PS_))
+    stat = jnp.zeros((1, STAT), jnp.float32)
+    stat = stat.at[0, 0:6].set(jnp.asarray(guess))
+    stat = stat.at[0, 9].set(1.0)
+    matP = jnp.eye(6, dtype=jnp.float32).reshape(1, 36)
+    stat, _ = gn_round_pallas(
+        stat, matP, featc, featsp, candc, cands, K=K, iters=ITERS,
+        jacobi_sweeps=2, min_plane_spread=SPREAD, interpret=True)
+
+    np.testing.assert_allclose(np.array(stat[0, 0:6]),
+                               np.array(res_on.pose6), atol=2e-3)
+    assert abs(int(stat[0, 10]) - int(res_on.n_corr)) <= (
+        0.05 * int(res_on.n_corr) + 10)
+
+
 @pytest.mark.skipif(not _FULL, reason=(
     "full-size fused-path parity needs TPU (interpret compile >30 min "
     "at these shapes on a 1-CPU host); set FBPR_SLOW_PALLAS=1 to force"))
