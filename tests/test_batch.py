@@ -108,3 +108,44 @@ def test_shard_register_tables_blocks_8_devices():
     assert int(stats["n_converged"]) == int(np.array(ref.converged).sum())
     err_t = np.linalg.norm(np.array(res.pose6)[:, 3:] - gt[:, 3:], axis=1)
     assert (err_t < 0.05).all(), err_t
+
+
+def test_map_sharded_tables_matches_replicated():
+    """Map-SHARDED grid tables (2-D data x map mesh, per-shard block fetch +
+    all_gather top-K merge) match the replicated-table blocks solver: the
+    striped shards' union candidate pool equals the single table's pool
+    (zero overflow at these caps), and distributed top-K is exact."""
+    from feature_base_pointcloud_registration_tpu.parallel.batch import (
+        batch_register_blocks, build_map_block_tables)
+    from feature_base_pointcloud_registration_tpu.parallel.map_sharded import (
+        build_sharded_block_tables, make_2d_mesh, map_sharded_register_tables)
+
+    assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
+    mesh = make_2d_mesh(8, data=2)          # 2 data x 4 map shards
+    feats, fmap, gt, guesses = _make_batch(4)
+    world = SyntheticWorld()
+    center = np.array([0.0, 0.0, (world.ground_z + world.ceil_z) / 2],
+                      np.float32)
+    half = np.array([world.half_x + 1, world.half_y + 1,
+                     (world.ceil_z - world.ground_z) / 2 + 1], np.float32)
+
+    # replicated reference: generous caps = zero overflow
+    ctab, stab, origin, dims = build_map_block_tables(
+        fmap, center, half, corner_cell_cap=32, surf_cell_cap=48)
+    ref = batch_register_blocks(feats, ctab, stab, origin, guesses,
+                                grid_dims=dims, corner_cell_cap=32,
+                                surf_cell_cap=48)
+
+    ctabs, stabs, origin_s, dims_s = build_sharded_block_tables(
+        fmap, center, half, 4, corner_cell_cap=32, surf_cell_cap=48)
+    assert dims_s == dims
+    res, stats = map_sharded_register_tables(
+        mesh, feats, ctabs, stabs, origin_s, guesses, grid_dims=dims_s,
+        corner_cell_cap=32, surf_cell_cap=48)
+
+    # identical candidate pools mod distance ties -> sub-mm pose agreement
+    np.testing.assert_allclose(np.array(res.pose6), np.array(ref.pose6),
+                               atol=1e-3)
+    err_t = np.linalg.norm(np.array(res.pose6)[:, 3:] - gt[:, 3:], axis=1)
+    assert (err_t < 0.05).all(), err_t
+    assert int(stats["n_converged"]) == int(np.array(ref.converged).sum())
