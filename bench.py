@@ -285,13 +285,41 @@ def run():
     feats_np = jax.tree.map(np.asarray, feats)
     mc = np.asarray(mcx)[np.asarray(mcm)]
     ms = np.asarray(msx)[np.asarray(msm)]
-    diffs = []
+    oracle_poses = []
     for i in range(n_or):
         corner = feats_np.corner_xyz[i][feats_np.corner_mask[i]]
         surf = feats_np.surf_xyz[i][feats_np.surf_mask[i]]
         pose_o, _ = oracle_mod.register_scan(corner, surf, mc, ms, guesses[i])
-        diffs.append(poses[i, 3:] - pose_o[3:])
-    ate_oracle = float(np.sqrt((np.stack(diffs) ** 2).sum(-1).mean()))
+        oracle_poses.append(pose_o)
+    oracle_poses = np.stack(oracle_poses)
+
+    def parity_vs_oracle(pose_arr):
+        d = pose_arr[:n_or, 3:] - oracle_poses[:, 3:]
+        return float(np.sqrt((d ** 2).sum(-1).mean()))
+
+    ate_oracle = parity_vs_oracle(poses)
+
+    # Per-stride parity: the coarse-to-fine round-0 subsampling is the one
+    # knob with a known accuracy cliff (surf/16 -> 0.16 m); report the
+    # full-resolution (stride-1) parity alongside the default so drift is
+    # attributable to the stride, not the solver.
+    ate_oracle_fullres = None
+    if solver_name == "fused" and (R1S > 1 or R1C > 1) and os.environ.get(
+            "BENCH_PARITY_FULLRES", "1") == "1":
+        res_fr = block(batch_register_fused(
+            feats, ctab, stab, origin, guesses_j, grid_dims=dims,
+            corner_cell_cap=CCAP, surf_cell_cap=SCAP))
+        ate_oracle_fullres = round(
+            parity_vs_oracle(np.array(res_fr.pose6)), 6)
+
+    # HARD parity gate (BASELINE.json north star: ATE within 1e-3 m of the
+    # reference math).  A stride/config regression past the budget must not
+    # exit 0 with a quietly bad number.
+    parity_budget = float(os.environ.get("BENCH_PARITY_BUDGET", "1e-3"))
+    parity_error = None
+    if ate_oracle > parity_budget:
+        parity_error = (f"oracle_parity_regression: ate_vs_oracle_m="
+                        f"{ate_oracle:.3e} > budget {parity_budget:.0e}")
 
     # the fused solver under shard_map on a real TPU mesh (1 device here;
     # the v5p-8 deployment shape is this exact wrapper with more devices) —
@@ -326,7 +354,7 @@ def run():
         fmap.surf_xyz, fmap.surf_mask, origin, 2.0, dims=dims,
         cell_cap=SCAP))
 
-    print(json.dumps({
+    out = {
         "metric": "batched scan-to-map registration throughput",
         "value": round(solve_sps, 2),
         "unit": "scans/s",
@@ -342,6 +370,8 @@ def run():
             "batch_sweep": sweep,
             "ate_vs_gt_m": round(ate_gt, 5),
             "ate_vs_oracle_m": round(ate_oracle, 6),
+            "ate_vs_oracle_fullres_m": ate_oracle_fullres,
+            "round1_strides": {"surf": R1S, "corner": R1C},
             "oracle_scans": n_or,
             "n_converged": int(np.array(res.converged).sum()),
             "grid_overflow_corner": round(ovf_c, 6),
@@ -352,7 +382,12 @@ def run():
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },
-    }))
+    }
+    if parity_error is not None:
+        out["error"] = parity_error
+    print(json.dumps(out))
+    if parity_error is not None:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
