@@ -32,13 +32,43 @@ from feature_base_pointcloud_registration_tpu.utils.cache import (
 enable_persistent_cache()
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default=None,
                     help="KITTI raw drive dir; generated drive if omitted")
     ap.add_argument("--scans", type=int, default=40)
     ap.add_argument("--gps", action="store_true",
                     help="add GPS factors from the oxts fixes")
+    ap.add_argument("--loop", action="store_true",
+                    help="enable loop closure (ICP revisit detection, "
+                         "ref: src/mapOptmization.h:582-782)")
+    ap.add_argument("--loop-time-diff", type=float, default=None,
+                    metavar="S",
+                    help="historyKeyframeSearchTimeDiff override (default "
+                         "30 s; the generated drive laps in ~2*pi*r/v s)")
+    ap.add_argument("--pose-cov-threshold", type=float, default=None,
+                    help="poseCovThreshold override: GPS factors inject only "
+                         "once the pose marginal exceeds this (ref "
+                         ":1596-1599); 0 trusts GPS unconditionally")
+    ap.add_argument("--max-keyframes", type=int, default=256,
+                    help="keyframe storage bound; the run EVICTS (folds old "
+                         "keyframes into the root prior) past this")
+    ap.add_argument("--opt-window", type=int, default=32,
+                    help="trailing LM window size (must be < max-keyframes "
+                         "for eviction to engage)")
+    ap.add_argument("--events", default=None, metavar="JSONL",
+                    help="write the full event log to this JSONL file")
+    ap.add_argument("--navsat", action="store_true",
+                    help="route GPS through the module_navsat analog "
+                         "(EkfGps + NavsatTransform) instead of feeding "
+                         "raw ENU fixes to add_gps (ref: launch/include/"
+                         "module_navsat.launch)")
+    ap.add_argument("--radius", type=float, default=4.0,
+                    help="generated drive: circle radius (m)")
+    ap.add_argument("--speed", type=float, default=1.5,
+                    help="generated drive: vehicle speed (m/s)")
+    ap.add_argument("--period", type=float, default=0.1,
+                    help="generated drive: record interval (s)")
     ap.add_argument("--plot", default=None, metavar="PNG",
                     help="export trajectory/map overview")
     ap.add_argument("--sensor", choices=["hdl64", "vlp16"], default=None,
@@ -57,7 +87,7 @@ def main():
                     help="surf_min_planar_spread: reject surf plane fits "
                          "whose 5-NN scatter is near-collinear (middle "
                          "singular value < M meters); 0 = reference parity")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from feature_base_pointcloud_registration_tpu import Params
     from feature_base_pointcloud_registration_tpu.io import kitti
@@ -72,21 +102,29 @@ def main():
     else:
         from scripts.make_kitti_drive import make_drive
 
-        data_dir = os.path.join(tempfile.gettempdir(), "fbpr_kitti_drive",
-                                f"n{args.scans}")
+        data_dir = os.path.join(
+            tempfile.gettempdir(), "fbpr_kitti_drive",
+            f"n{args.scans}_r{args.radius:g}_v{args.speed:g}"
+            f"_p{args.period:g}")
         if not os.path.exists(os.path.join(data_dir, "gt_poses.npy")):
             print(f"generating raw-format drive at {data_dir} ...")
-            make_drive(data_dir, n_scans=args.scans)
+            make_drive(data_dir, n_scans=args.scans, radius=args.radius,
+                       speed=args.speed, period=args.period)
         sensor = args.sensor or "vlp16"
 
     # mapping_process_interval=0: process every 10 Hz scan.  The reference
     # default (0.15 s) would skip alternate scans, which is a rate
     # regulator, not SLAM quality — the ATE here should measure the map.
+    overrides = dict(loop_closure_enable_flag=args.loop)
+    if args.loop_time_diff is not None:
+        overrides["history_keyframe_search_time_diff"] = args.loop_time_diff
+    if args.pose_cov_threshold is not None:
+        overrides["pose_cov_threshold"] = args.pose_cov_threshold
     if sensor == "vlp16":
         geom = dict(n_rings=16, elev_min=-15.0, elev_max=15.0)
         params = Params(n_scan=16, map_corner_cap=8192, map_surf_cap=65536,
                         mapping_process_interval=0.0,
-                        surf_min_planar_spread=args.spread)
+                        surf_min_planar_spread=args.spread, **overrides)
         max_points = 16 * 1800
     else:
         geom = dict(n_rings=64, elev_min=-24.9, elev_max=2.0)
@@ -94,7 +132,7 @@ def main():
                         surf_cap=32768, sector_cap=304,
                         map_corner_cap=16384, map_surf_cap=131072,
                         mapping_process_interval=0.0,
-                        surf_min_planar_spread=args.spread)
+                        surf_min_planar_spread=args.spread, **overrides)
         max_points = 1 << 17
 
     vdir = os.path.join(data_dir, "velodyne_points", "data")
@@ -105,7 +143,14 @@ def main():
     imu = kitti.load_oxts_imu(odir)
     gps = kitti.load_oxts_gps(odir)
 
-    pipe = SlamPipeline(params, max_keyframes=256)
+    pipe = SlamPipeline(params, max_keyframes=args.max_keyframes,
+                        opt_window=min(args.opt_window,
+                                       max(args.max_keyframes // 2, 4)))
+    navsat = None
+    if args.navsat:
+        from feature_base_pointcloud_registration_tpu.pipeline.navsat import (
+            EkfGps, NavsatTransform)
+        navsat = NavsatTransform(EkfGps())
     est = []
     n_done = 0
     t0 = time.perf_counter()
@@ -146,7 +191,27 @@ def main():
         if args.gps and len(gps["times"]):
             gi = int(np.argmin(np.abs(gps["times"] - t)))
             if abs(gps["times"][gi] - t) < 0.05:
-                pipe.add_gps(t, gps["xyz"][gi], gps["cov"][gi])
+                if navsat is not None:
+                    # module_navsat chain: EKF ingests the IMU attitude/
+                    # rate stream + the LIO pose (odometry/filtered), the
+                    # navsat node anchors + republishes the fix as
+                    # map-frame odometry (odometry/gps)
+                    ii = int(np.argmin(np.abs(imu["times"] - t)))
+                    qx, qy, qz, qw = imu["quat"][ii]
+                    rpy_ekf = np.array([
+                        np.arctan2(2 * (qw * qx + qy * qz),
+                                   1 - 2 * (qx * qx + qy * qy)),
+                        np.arcsin(np.clip(2 * (qw * qy - qz * qx), -1, 1)),
+                        np.arctan2(2 * (qw * qz + qx * qy),
+                                   1 - 2 * (qy * qy + qz * qz))])
+                    navsat.ekf.add_imu(t, rpy_ekf, imu["gyr"][ii])
+                    navsat.ekf.add_odometry(t, pipe.pose)
+                    xyz_m, cov_m = navsat.handle_fix(
+                        t, gps["xyz"][gi], gps["cov"][gi],
+                        imu_yaw=float(rpy_ekf[2]))
+                    pipe.add_gps(t, xyz_m, cov_m)
+                else:
+                    pipe.add_gps(t, gps["xyz"][gi], gps["cov"][gi])
         pose = pipe.step(raw, timestamp=t, deskew_info=dsk)
         est.append(pose.copy())
         n_done += 1
@@ -164,12 +229,30 @@ def main():
     print(f"ATE vs oxts over {n} scans: {ate * 100:.1f} cm "
           f"(max {err.max() * 100:.1f} cm)")
 
+    # event summary: the latent back-end paths that fired this run (loop
+    # closure / GPS factors / eviction — the reference's interacting
+    # mapOptmization threads, ref: src/mapOptmization.h:346-389)
+    from feature_base_pointcloud_registration_tpu.utils.log import get_logger
+    log = get_logger()
+    events = log.tail(10 ** 9)
+    counts = {}
+    for ev in events:
+        counts[ev["topic"]] = counts.get(ev["topic"], 0) + 1
+    interesting = ["mapping/keyframe", "mapping/loop_closure",
+                   "mapping/gps_factor", "mapping/evict",
+                   "mapping/evict_dropped_factors"]
+    print("events: " + "  ".join(
+        f"{t.split('/')[-1]}={counts.get(t, 0)}" for t in interesting))
+    if args.events:
+        log.to_jsonl(args.events)
+        print(f"event log written to {args.events}")
+
     if args.plot:
         from feature_base_pointcloud_registration_tpu.utils.viz import (
             export_run_plot)
         export_run_plot(pipe, args.plot, gt_xy=gt[:n, 3:5])
         print(f"overview written to {args.plot}")
-    return ate
+    return ate, counts
 
 
 if __name__ == "__main__":

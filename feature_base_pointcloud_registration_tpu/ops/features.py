@@ -12,11 +12,20 @@ TPU-native rebuild of FeatureExtraction (ref: src/featureExtraction.h):
     precomputed sorted candidate table, vmapped over rings.  The greedy loop
     is inherently sequential; sectors within a ring are processed in order
     (suppression crosses sector boundaries) while the 16 rings run in
-    parallel lanes.  Known deviation from the serial reference: a pick at the
-    very first sector slot can suppress at most one point in the *previous*
-    ring (ind-5 underruns the ring start by one, ref :236); ring lanes don't
-    share state so that single-point spill is dropped.  Tolerance-level, not
-    bit-level, parity (SURVEY.md §7).
+    parallel lanes.  Ring lanes not sharing state is OUTPUT-INVARIANT, i.e.
+    strict mode is bit-exact across ring seams too: the reference's only
+    cross-ring write is a pick at the first sector slot (ind = sp_0 =
+    startRingIndex = count_before+4, j=0) marking ind-5 = count_before-1 =
+    the LAST point of the previous ring (ref :236); that position can never
+    be a candidate (every ring's pickable range is [count_before+4,
+    count_after-6], ref :650,:668 margins), candidates are the only readers
+    of cloudNeighborPicked, and rings are processed in ascending order so
+    the previous ring is already finished — the mark is dead in the
+    reference itself.  Forward spill cannot occur at all: the last pickable
+    index is count_after-6, so ind+5 <= count_after-1 stays inside the
+    ring.  Proven bit-exact on multi-ring streams by
+    tests/test_features.py::test_strict_multi_ring_bit_exact_vs_oracle
+    (the oracle transcribes the spill faithfully on a flat global array).
   * per-ring surface voxel thinning (ref :288-292) -> fixed-capacity voxel
     downsample per ring lane.
 
@@ -46,14 +55,23 @@ _MIS_STRIDE_DEFAULT = True
 
 
 def _curvature_flat(point_range, num_points):
-    """diffRange = sum(r[i-5..i+5]) - 11*r[i] ... actually ref uses
-    sum of the 10 neighbors - 10*r[i]; curvature = diffRange^2
-    (ref: src/featureExtraction.h:115-122).  Valid for i in [5, size-5)."""
+    """diffRange = r[i-5]+...+r[i-1] - 10*r[i] + r[i+1]+...+r[i+5];
+    curvature = diffRange^2 (ref: src/featureExtraction.h:115-122).
+    Valid for i in [5, size-5).
+
+    The adds run in the reference's exact left-associative order (backward
+    neighbors, -10*r, forward neighbors) so the float32 rounding — and
+    therefore every curvature ORDERING the pick loops consume — is
+    bit-identical to the C++ serial loop, not just close (the seam
+    bit-parity test compares pick sets exactly)."""
     P = point_range.shape[0]
     r = point_range
-    acc = -10.0 * r
-    for k in range(1, 6):
-        acc = acc + jnp.roll(r, k) + jnp.roll(r, -k)
+    acc = jnp.roll(r, 5)
+    for k in (4, 3, 2, 1):
+        acc = acc + jnp.roll(r, k)
+    acc = acc - 10.0 * r
+    for k in (1, 2, 3, 4, 5):
+        acc = acc + jnp.roll(r, -k)
     curv = acc * acc
     i = jnp.arange(P)
     in_win = (i >= 5) & (i < num_points - 5)
@@ -344,11 +362,15 @@ def _ring_pick(ring_window, sector_cap, edge_threshold, surf_threshold,
     return label, surf_span
 
 
-@partial(jax.jit, static_argnames=("n_scan", "horizon_scan", "sector_cap",
-                                   "corner_cap", "surf_cap", "strict"))
-def _extract_features_impl(cloud: CloudInfo, edge_threshold, surf_threshold,
-                           surf_leaf, *, n_scan, horizon_scan, sector_cap,
-                           corner_cap, surf_cap, strict=True):
+def _window_labels(cloud: CloudInfo, edge_threshold, surf_threshold, *,
+                   n_scan, horizon_scan, sector_cap, strict):
+    """Curvature + occlusion masks + per-ring window gather + picking.
+
+    Returns (windows, label [n_scan, W], surf_span [n_scan, W], ring_first
+    [n_scan]) in per-ring window coordinates; flat index of window slot w of
+    ring r is ring_first[r] - MARGIN + w.  Factored out of
+    _extract_features_impl so the seam-exactness test can compare labels
+    against the serial oracle directly (tests/test_features.py)."""
     P = cloud.point_range.shape[0]
     num = cloud.num_points
 
@@ -410,6 +432,17 @@ def _extract_features_impl(cloud: CloudInfo, edge_threshold, surf_threshold,
         lambda w: _ring_pick(w, sector_cap, edge_threshold, surf_threshold,
                              strict=strict)
     )(windows)  # [n_scan, W]
+    return windows, label, surf_span, ring_first
+
+
+@partial(jax.jit, static_argnames=("n_scan", "horizon_scan", "sector_cap",
+                                   "corner_cap", "surf_cap", "strict"))
+def _extract_features_impl(cloud: CloudInfo, edge_threshold, surf_threshold,
+                           surf_leaf, *, n_scan, horizon_scan, sector_cap,
+                           corner_cap, surf_cap, strict=True):
+    windows, label, surf_span, _ = _window_labels(
+        cloud, edge_threshold, surf_threshold, n_scan=n_scan,
+        horizon_scan=horizon_scan, sector_cap=sector_cap, strict=strict)
 
     # ---- corner set: label == 1, compacted per ring ----
     ring_corner_cap = corner_cap // n_scan

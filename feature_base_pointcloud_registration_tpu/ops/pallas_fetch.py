@@ -109,7 +109,7 @@ def build_block_table_planar(sentinel_table, *, dims, compact: bool = True):
 
 def _fetch_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, bcv_ref, table_ref,
                   d2_ref, nnx_ref, nny_ref, nnz_ref,
-                  buf, sems, *, S3: int, K: int):
+                  buf, sems, *, S3: int, K: int, planes_out: bool = False):
     """One program: _TILE queries; waves of _WAVE row-DMAs, fused compute.
 
     buf: [2, _WAVE, 3*S3, 128] VMEM; table rows are [3*S3, 128] with the x/y/z
@@ -176,10 +176,16 @@ def _fetch_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, bcv_ref, table_ref,
         @pl.when(jnp.logical_not(any_live))
         def _():
             d2_ref[qsl, :] = jnp.full((_WAVE, K), 3.0e38, jnp.float32)
-            zeros = jnp.zeros((_WAVE, K), jnp.float32)
-            nnx_ref[qsl, :] = zeros
-            nny_ref[qsl, :] = zeros
-            nnz_ref[qsl, :] = zeros
+            if planes_out:
+                zeros = jnp.zeros((K, _WAVE), jnp.float32)
+                nnx_ref[:, qsl] = zeros
+                nny_ref[:, qsl] = zeros
+                nnz_ref[:, qsl] = zeros
+            else:
+                zeros = jnp.zeros((_WAVE, K), jnp.float32)
+                nnx_ref[qsl, :] = zeros
+                nny_ref[qsl, :] = zeros
+                nnz_ref[qsl, :] = zeros
 
         @pl.when(any_live)
         def _():
@@ -240,16 +246,26 @@ def _fetch_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, bcv_ref, table_ref,
             d2m = jnp.where(cols == first, 3.0e38, d2m)
 
         d2_ref[qsl, :] = jnp.concatenate(ds_, axis=1)      # [WAVE, K]
-        nnx_ref[qsl, :] = jnp.concatenate(xs_, axis=1)
-        nny_ref[qsl, :] = jnp.concatenate(ys_, axis=1)
-        nnz_ref[qsl, :] = jnp.concatenate(zs_, axis=1)
+        if planes_out:
+            # plane-major candidate output ([K, Q]): the [WAVE, K] -> [K,
+            # WAVE] relayout happens HERE, on a VMEM-resident 128x8 tile,
+            # instead of as an XLA transpose of the full [B, P, K, 3]
+            # tensor through HBM (measured ~40 ms/batch of fusion glue at
+            # B=256 — the round-5 e2e lever).
+            nnx_ref[:, qsl] = jnp.concatenate(xs_, axis=1).T
+            nny_ref[:, qsl] = jnp.concatenate(ys_, axis=1).T
+            nnz_ref[:, qsl] = jnp.concatenate(zs_, axis=1).T
+        else:
+            nnx_ref[qsl, :] = jnp.concatenate(xs_, axis=1)
+            nny_ref[qsl, :] = jnp.concatenate(ys_, axis=1)
+            nnz_ref[qsl, :] = jnp.concatenate(zs_, axis=1)
 
     lax.fori_loop(0, n_waves, wave_body, jnp.int32(0), unroll=False)
 
 
-@partial(jax.jit, static_argnames=("W", "K", "vma"))
+@partial(jax.jit, static_argnames=("W", "K", "vma", "planes_out"))
 def fused_block_fetch(table_planar, bcell, query, *, W: int, K: int = 8,
-                      vma: tuple = ()):
+                      vma: tuple = (), planes_out: bool = False):
     """query [Q,3], bcell [Q] int32 row ids -> (d2 [Q,K], nn [Q,K,3]).
 
     Q must be a multiple of 256 (pad queries; point padded bcell rows at the
@@ -257,15 +273,38 @@ def fused_block_fetch(table_planar, bcell, query, *, W: int, K: int = 8,
     // 3 * 128 (8*cell_cap uncompacted, the packed row width otherwise);
     table_planar from build_block_table_planar ([rows, 3*W/128, 128]).
     vma: mesh axes the outputs vary over (shard_map check_vma support).
+
+    planes_out=True returns (d2 [Q,K], (nnx, nny, nnz) each [K,Q]) — the
+    plane-major layout gn_round_pallas consumes directly (concatenate the
+    three on axis 0 for cand [3K, Q]; lane b's block is columns
+    [b*P:(b+1)*P]), skipping the [B,P,K,3]->[B,3K,P] XLA transpose.
+
+    query may also be a (qx, qy, qz) tuple of [Q] arrays — preferred, it
+    avoids materializing the tile-padded [Q,3] layout.
     """
-    Q = query.shape[0]
+    if isinstance(query, tuple):
+        qx, qy, qz = (q[:, None] for q in query)
+    else:
+        qx, qy, qz = query[:, 0:1], query[:, 1:2], query[:, 2:3]
+    Q = qx.shape[0]
     assert Q % _TILE == 0, Q
     assert W % 128 == 0, W
     S3 = W // 128
     assert table_planar.shape[1] == 3 * S3, (table_planar.shape, W)
     grid = (Q // _TILE,)
 
-    kernel = partial(_fetch_kernel, S3=S3, K=K)
+    if planes_out:
+        nn_spec = pl.BlockSpec((K, _TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+        nn_shape = jax.ShapeDtypeStruct((K, Q), jnp.float32,
+                                        vma=frozenset(vma) if vma else None)
+    else:
+        nn_spec = pl.BlockSpec((_TILE, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        nn_shape = jax.ShapeDtypeStruct((Q, K), jnp.float32,
+                                        vma=frozenset(vma) if vma else None)
+
+    kernel = partial(_fetch_kernel, S3=S3, K=K, planes_out=planes_out)
     d2, nnx, nny, nnz = pl.pallas_call(
         kernel,
         # Mosaic is TPU-only; on CPU (tests, virtual meshes) run interpreted.
@@ -287,32 +326,28 @@ def fused_block_fetch(table_planar, bcell, query, *, W: int, K: int = 8,
         out_specs=[
             pl.BlockSpec((_TILE, K), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, K), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, K), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, K), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            nn_spec,
+            nn_spec,
+            nn_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Q, K), jnp.float32,
                                  vma=frozenset(vma) if vma else None),
-            jax.ShapeDtypeStruct((Q, K), jnp.float32,
-                                 vma=frozenset(vma) if vma else None),
-            jax.ShapeDtypeStruct((Q, K), jnp.float32,
-                                 vma=frozenset(vma) if vma else None),
-            jax.ShapeDtypeStruct((Q, K), jnp.float32,
-                                 vma=frozenset(vma) if vma else None),
+            nn_shape,
+            nn_shape,
+            nn_shape,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, _WAVE, 3 * S3, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, _WAVE)),
         ],
-    )(bcell[:, None], query[:, 0:1], query[:, 1:2], query[:, 2:3],
+    )(bcell[:, None], qx, qy, qz,
       bcell[:, None], table_planar)
 
-    nn = jnp.stack([nnx, nny, nnz], axis=-1)
     d2 = jnp.where(d2 > 1e17, _BIG, d2)
+    if planes_out:
+        return d2, (nnx, nny, nnz)
+    nn = jnp.stack([nnx, nny, nnz], axis=-1)
     return d2, nn
 
 
@@ -358,7 +393,8 @@ def compact_row_space(table_planar):
 
 
 def _resident_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, table_ref,
-                     d2_ref, nnx_ref, nny_ref, nnz_ref, *, S3: int, K: int):
+                     d2_ref, nnx_ref, nny_ref, nnz_ref, *, S3: int, K: int,
+                     planes_out: bool = False):
     """One program: _TILE queries against the VMEM-resident table.
 
     No DMA machinery at all: each query's block row is a dynamic-slice
@@ -383,10 +419,16 @@ def _resident_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, table_ref,
         @pl.when(live == 0)
         def _():
             d2_ref[qsl, :] = jnp.full((G, K), 3.0e38, jnp.float32)
-            zeros = jnp.zeros((G, K), jnp.float32)
-            nnx_ref[qsl, :] = zeros
-            nny_ref[qsl, :] = zeros
-            nnz_ref[qsl, :] = zeros
+            if planes_out:
+                zeros = jnp.zeros((K, G), jnp.float32)
+                nnx_ref[:, qsl] = zeros
+                nny_ref[:, qsl] = zeros
+                nnz_ref[:, qsl] = zeros
+            else:
+                zeros = jnp.zeros((G, K), jnp.float32)
+                nnx_ref[qsl, :] = zeros
+                nny_ref[qsl, :] = zeros
+                nnz_ref[qsl, :] = zeros
 
         @pl.when(live != 0)
         def _():
@@ -418,25 +460,46 @@ def _resident_kernel(bcell_ref, qx_ref, qy_ref, qz_ref, table_ref,
                 d2m = jnp.where(cols == first, 3.0e38, d2m)
 
             d2_ref[qsl, :] = jnp.concatenate(ds_, axis=1)  # [G, K]
-            nnx_ref[qsl, :] = jnp.concatenate(xs_, axis=1)
-            nny_ref[qsl, :] = jnp.concatenate(ys_, axis=1)
-            nnz_ref[qsl, :] = jnp.concatenate(zs_, axis=1)
+            if planes_out:
+                nnx_ref[:, qsl] = jnp.concatenate(xs_, axis=1).T
+                nny_ref[:, qsl] = jnp.concatenate(ys_, axis=1).T
+                nnz_ref[:, qsl] = jnp.concatenate(zs_, axis=1).T
+            else:
+                nnx_ref[qsl, :] = jnp.concatenate(xs_, axis=1)
+                nny_ref[qsl, :] = jnp.concatenate(ys_, axis=1)
+                nnz_ref[qsl, :] = jnp.concatenate(zs_, axis=1)
 
 
-@partial(jax.jit, static_argnames=("W", "K", "vma"))
+@partial(jax.jit, static_argnames=("W", "K", "vma", "planes_out"))
 def fused_resident_fetch(table_compact, bcell, query, *, W: int, K: int = 8,
-                         vma: tuple = ()):
+                         vma: tuple = (), planes_out: bool = False):
     """Resident-table variant of fused_block_fetch: same contract, but
     `table_compact` (from compact_row_space) lives whole in VMEM and
-    `bcell` holds COMPACT row ids (route through PlanarTable.rows_index)."""
-    Q = query.shape[0]
+    `bcell` holds COMPACT row ids (route through PlanarTable.rows_index).
+    planes_out and tuple-query as in fused_block_fetch."""
+    if isinstance(query, tuple):
+        qx, qy, qz = (q[:, None] for q in query)
+    else:
+        qx, qy, qz = query[:, 0:1], query[:, 1:2], query[:, 2:3]
+    Q = qx.shape[0]
     assert Q % _TILE == 0, Q
     assert W % 128 == 0, W
     S3 = W // 128
     assert table_compact.shape[1] == 3 * S3, (table_compact.shape, W)
     grid = (Q // _TILE,)
 
-    kernel = partial(_resident_kernel, S3=S3, K=K)
+    if planes_out:
+        nn_spec = pl.BlockSpec((K, _TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+        nn_shape = jax.ShapeDtypeStruct((K, Q), jnp.float32,
+                                        vma=frozenset(vma) if vma else None)
+    else:
+        nn_spec = pl.BlockSpec((_TILE, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        nn_shape = jax.ShapeDtypeStruct((Q, K), jnp.float32,
+                                        vma=frozenset(vma) if vma else None)
+
+    kernel = partial(_resident_kernel, S3=S3, K=K, planes_out=planes_out)
     d2, nnx, nny, nnz = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() != "tpu",
@@ -455,43 +518,55 @@ def fused_resident_fetch(table_compact, bcell, query, *, W: int, K: int = 8,
         out_specs=[
             pl.BlockSpec((_TILE, K), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, K), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, K), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, K), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            nn_spec,
+            nn_spec,
+            nn_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Q, K), jnp.float32,
                                  vma=frozenset(vma) if vma else None),
-            jax.ShapeDtypeStruct((Q, K), jnp.float32,
-                                 vma=frozenset(vma) if vma else None),
-            jax.ShapeDtypeStruct((Q, K), jnp.float32,
-                                 vma=frozenset(vma) if vma else None),
-            jax.ShapeDtypeStruct((Q, K), jnp.float32,
-                                 vma=frozenset(vma) if vma else None),
+            nn_shape,
+            nn_shape,
+            nn_shape,
         ],
-    )(bcell[:, None], query[:, 0:1], query[:, 1:2], query[:, 2:3],
+    )(bcell[:, None], qx, qy, qz,
       table_compact)
 
-    nn = jnp.stack([nnx, nny, nnz], axis=-1)
     d2 = jnp.where(d2 > 1e17, _BIG, d2)
+    if planes_out:
+        return d2, (nnx, nny, nnz)
+    nn = jnp.stack([nnx, nny, nnz], axis=-1)
     return d2, nn
 
 
 def block_cell_of(query, origin, cell_size, *, dims):
     """Block-corner row id per query (octant rule; out-of-grid -> sentinel)."""
+    return block_cell_of_xyz(query[..., 0], query[..., 1], query[..., 2],
+                             origin, cell_size, dims=dims)
+
+
+def block_cell_of_xyz(qx, qy, qz, origin, cell_size, *, dims):
+    """block_cell_of on component arrays (any shape).
+
+    Component-wise on purpose: a [Q,3] layout puts the 3-wide axis on the
+    128-lane dimension (42x tile padding), and the floor/convert/compare/
+    reduce chain over it measured ~14 ms/batch per round at B=256.  The
+    same chain on three [Q] arrays is clean full-width VPU work.
+    """
     Gx, Gy, Gz = dims
     n_cells = Gx * Gy * Gz
-    rel = (query - origin) / cell_size
-    ijk = jnp.floor(rel).astype(jnp.int32)
-    frac = rel - ijk
-    base = ijk - (frac < 0.5).astype(jnp.int32)
-    ok = (jnp.all(base >= 0, axis=-1)
-          & (base[:, 0] < Gx) & (base[:, 1] < Gy) & (base[:, 2] < Gz))
-    return jnp.where(ok, (base[:, 0] * Gy + base[:, 1]) * Gz + base[:, 2],
-                     n_cells).astype(jnp.int32)
+
+    def base_of(q, o):
+        rel = (q - o) / cell_size
+        ijk = jnp.floor(rel).astype(jnp.int32)
+        return ijk - (rel - ijk < 0.5).astype(jnp.int32)
+
+    bx = base_of(qx, origin[0])
+    by = base_of(qy, origin[1])
+    bz = base_of(qz, origin[2])
+    ok = ((bx >= 0) & (by >= 0) & (bz >= 0)
+          & (bx < Gx) & (by < Gy) & (bz < Gz))
+    return jnp.where(ok, (bx * Gy + by) * Gz + bz, n_cells).astype(jnp.int32)
 
 
 def make_pallas_block_knn(table_planar, origin, cell_size, *, dims, cell_cap,

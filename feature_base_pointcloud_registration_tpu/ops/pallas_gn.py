@@ -397,7 +397,7 @@ def _gn_round_kernel(stat_ref, matP_ref, featc_ref, feats_ref,
                      *, K: int, iters: int, min_corr: int,
                      eig_thresh: float, conv_rot_deg: float,
                      conv_trans_cm: float, jacobi_sweeps: int,
-                     min_plane_spread: float):
+                     min_plane_spread: float, cand_planes_2d: bool = False):
     """One grid program = one scan lane = one full solve round."""
     b = pl.program_id(0)
     for j in range(STAT):
@@ -428,8 +428,14 @@ def _gn_round_kernel(stat_ref, matP_ref, featc_ref, feats_ref,
     fsy = feats_ref[0, 1:2, :]
     fsz = feats_ref[0, 2:3, :]
     fsm = feats_ref[0, 3:4, :]
-    candc = candc_ref[0]
-    cands = cands_ref[0]
+    if cand_planes_2d:
+        # plane-major fetch output [3K, B*P]: this lane's block is the
+        # (3K, P) column slice the BlockSpec already carved out
+        candc = candc_ref[:, :]
+        cands = cands_ref[:, :]
+    else:
+        candc = candc_ref[0]
+        cands = cands_ref[0]
 
     def body(i, carry):
         conv = stat_out[b, 7]
@@ -601,7 +607,12 @@ def gn_round_pallas(stat, matP, featc, feats, candc, cands, *, K: int,
 
     stat [B,16], matP [B,36] (see STAT slots); featc [B,4,Pc] / feats
     [B,4,Ps] feature planes (x,y,z,mask rows); candc [B,3K,Pc] / cands
-    [B,3K,Ps] candidate planes.  Returns (stat', matP').
+    [B,3K,Ps] candidate planes — OR, when the candidates come from a
+    planes_out=True fetch, candc [3K, B*Pc] / cands [3K, B*Ps] (2-D): lane
+    b's block is the contiguous column slice [:, b*P:(b+1)*P], so the
+    kernel consumes the fetch output with ZERO intervening XLA transpose
+    (the [B,P,K,3]->[B,3K,P] reshuffle was ~40 ms/batch at B=256).
+    Returns (stat', matP').
 
     vma: mesh axis names the outputs vary over — required when calling
     inside shard_map(check_vma=True), where pallas outputs must declare
@@ -609,13 +620,26 @@ def gn_round_pallas(stat, matP, featc, feats, candc, cands, *, K: int,
     """
     B, _, Pc = featc.shape
     Ps = feats.shape[2]
+    cand_planes_2d = candc.ndim == 2
+    if cand_planes_2d:
+        assert candc.shape == (3 * K, B * Pc), (candc.shape, (3 * K, B * Pc))
+        assert cands.shape == (3 * K, B * Ps), (cands.shape, (3 * K, B * Ps))
+        candc_spec = pl.BlockSpec((3 * K, Pc), lambda b: (0, b),
+                                  memory_space=pltpu.VMEM)
+        cands_spec = pl.BlockSpec((3 * K, Ps), lambda b: (0, b),
+                                  memory_space=pltpu.VMEM)
+    else:
+        candc_spec = pl.BlockSpec((1, 3 * K, Pc), lambda b: (b, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        cands_spec = pl.BlockSpec((1, 3 * K, Ps), lambda b: (b, 0, 0),
+                                  memory_space=pltpu.VMEM)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kern = functools.partial(
         _gn_round_kernel, K=K, iters=iters, min_corr=min_corr,
         eig_thresh=eig_thresh, conv_rot_deg=conv_rot_deg,
         conv_trans_cm=conv_trans_cm, jacobi_sweeps=jacobi_sweeps,
-        min_plane_spread=min_plane_spread)
+        min_plane_spread=min_plane_spread, cand_planes_2d=cand_planes_2d)
     return pl.pallas_call(
         kern,
         interpret=interpret,
@@ -627,10 +651,8 @@ def gn_round_pallas(stat, matP, featc, feats, candc, cands, *, K: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, Ps), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * K, Pc), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * K, Ps), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            candc_spec,
+            cands_spec,
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

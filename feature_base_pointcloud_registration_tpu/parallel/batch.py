@@ -378,10 +378,11 @@ def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
         if isinstance(planar, PlanarTable):
             return fused_resident_fetch(
                 planar.table, planar.rows_index[bc], w,
-                W=planar.table.shape[1] // 3 * 128, K=K, vma=shard_axes)
+                W=planar.table.shape[1] // 3 * 128, K=K, vma=shard_axes,
+                planes_out=True)
         return fused_block_fetch(planar, bc, w,
                                  W=planar.shape[1] // 3 * 128, K=K,
-                                 vma=shard_axes)
+                                 vma=shard_axes, planes_out=True)
 
     # Per-lane presort of features by their block row at the initial pose:
     # the solver is permutation-invariant per lane, and row-sorted queries
@@ -434,18 +435,36 @@ def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
     matP = jnp.tile(jnp.eye(6, dtype=jnp.float32).reshape(1, 36), (B, 1))
 
     def cand_planes(nn, P):
-        # [B*P, K, 3] -> [B, 3K, P] (x rows 0..K-1, then y, then z)
-        return jnp.transpose(nn.reshape(B, P, K, 3),
-                             (0, 3, 2, 1)).reshape(B, 3 * K, P)
+        # planes_out fetch: (nnx, nny, nnz) each [K, B*P] -> [3K, B*P];
+        # gn_round_pallas block-views lane b's (3K, P) column slice — no
+        # XLA transpose (the [B,P,K,3]->[B,3K,P] reshuffle this replaces
+        # was ~40 ms/batch of fusion glue at B=256)
+        del P
+        return jnp.concatenate(nn, axis=0)
+
+    def world_xform(R, pose, xyz):
+        # elementwise 9-term mul-add on the VPU: an einsum here (3-wide
+        # inner dim, HIGHEST precision) lowers to multi-pass MXU matmuls —
+        # measured ~10 ms/batch PER ROUND on the surf queries at B=256.
+        # The result stays in [B,P,3] layout on purpose: a fully
+        # component-wise pipeline ([Q] arrays into the fetch) was tried
+        # and measured 20% SLOWER end to end (1477 -> 1188 scans/s) — the
+        # flat-component reshapes/relayouts cost more than the [Q,3]
+        # minor-dim-3 padding they remove.
+        x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+        out = []
+        for i in range(3):
+            ri = R[:, i, :]
+            out.append(ri[:, 0:1] * x + ri[:, 1:2] * y + ri[:, 2:3] * z
+                       + pose[:, None, 3 + i])
+        return jnp.stack(out, axis=-1)
 
     def fetch(pose, cxyz, cmask, sxyz, smask, skip_lane=None):
         pc = cxyz.shape[1]
         ps = sxyz.shape[1]
         R = jax.vmap(euler_to_rot)(pose[:, 0], pose[:, 1], pose[:, 2])
-        cw = jnp.einsum("bij,bpj->bpi", R, cxyz,
-                        precision=prec) + pose[:, None, 3:6]
-        sw = jnp.einsum("bij,bpj->bpi", R, sxyz,
-                        precision=prec) + pose[:, None, 3:6]
+        cw = world_xform(R, pose, cxyz)
+        sw = world_xform(R, pose, sxyz)
         cbc = block_cell_of(cw.reshape(B * pc, 3), origin, cell_size,
                             dims=grid_dims)
         sbc = block_cell_of(sw.reshape(B * ps, 3), origin, cell_size,
@@ -490,7 +509,9 @@ def batch_register_fused(features: ScanFeatures, corner_planar, surf_planar,
                  features.surf_xyz, features.surf_mask)
     cs, ss = round1_corner_stride, round1_surf_stride
     if cs > 1 or ss > 1:
-        assert not shared_fetch and num_rounds >= 2, (
+        # tail IS compatible: it refetches at round 1 at full resolution,
+        # which is exactly the refetch the subsampled round 0 requires.
+        assert shared_fetch in (False, "tail") and num_rounds >= 2, (
             "round-0 subsampling needs a full-resolution refetch round")
         r0_args = (features.corner_xyz[:, ::cs],
                    features.corner_mask[:, ::cs],

@@ -79,7 +79,8 @@ def main():
                       np.float32)
     half = np.array([world.half_x + 1, world.half_y + 1,
                      (world.ceil_z - world.ground_z) / 2 + 1], np.float32)
-    CCAP, SCAP = 32, 48
+    CCAP = int(os.environ.get("EXP_CCAP", "32"))
+    SCAP = int(os.environ.get("EXP_SCAP", "48"))
     ctab, stab, origin, dims = build_map_planar_tables(
         fmap, center, half, corner_cell_cap=CCAP, surf_cell_cap=SCAP)
 
@@ -120,6 +121,30 @@ def main():
                             iters_per_round=(10, 20)),
         "cf_s8c4_K6": dict(round1_surf_stride=8, round1_corner_stride=4,
                            num_candidates=6),
+        # round-5: coarse round-0 + ONE full refetch + shared-pool polish
+        "cf_s8c4_tail": dict(round1_surf_stride=8, round1_corner_stride=4,
+                             num_rounds=3, shared_fetch="tail",
+                             iters_per_round=(8, 12, 10)),
+        "cf_s8c4_i12_18": dict(round1_surf_stride=8, round1_corner_stride=4,
+                               iters_per_round=(12, 18)),
+        "cf_s8c4_i8_14": dict(round1_surf_stride=8, round1_corner_stride=4,
+                              iters_per_round=(8, 14)),
+        "cf_s8c4_i8_12": dict(round1_surf_stride=8, round1_corner_stride=4,
+                              iters_per_round=(8, 12)),
+        # skip the full-resolution refetch for lanes already converged on
+        # the strided round-0 pool (accuracy risk: those lanes' final pose
+        # comes from the strided pool)
+        "cf_s8c4_skip": dict(round1_surf_stride=8, round1_corner_stride=4,
+                             skip_converged_refetch=True),
+        "cf_s4c2_skip": dict(round1_surf_stride=4, round1_corner_stride=2,
+                             skip_converged_refetch=True),
+        "cf_s2_skip": dict(round1_surf_stride=2, skip_converged_refetch=True),
+        "cf_s8c4_presort": dict(round1_surf_stride=8, round1_corner_stride=4,
+                                presort_rows=True),
+        "cf_s8c4_tail_K6": dict(round1_surf_stride=8, round1_corner_stride=4,
+                                num_rounds=3, shared_fetch="tail",
+                                iters_per_round=(8, 12, 10),
+                                num_candidates=6),
     }
     names = sys.argv[1:] or list(CONFIGS)
 

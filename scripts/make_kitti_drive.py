@@ -69,12 +69,17 @@ def oxts_record(pose, vel, omega, speed):
 
 def make_drive(out: str, n_scans: int = 40, radius: float = 4.0,
                speed: float = 1.5, noise: float = 0.01, seed: int = 0,
-               motion_skew: bool = True):
+               motion_skew: bool = True, period: float = 0.1):
     """motion_skew=True raycasts each scan with the drive's true angular
     rate AND world velocity applied during the sweep (points land in the
     instantaneous sensor frame, like a real spinning lidar on a moving
     vehicle), so the pipeline's gyro deskew is exercised for real; False
-    writes rigid snapshots (no intra-scan motion)."""
+    writes rigid snapshots (no intra-scan motion).
+
+    period is the RECORD interval (seconds between stored scans and oxts
+    rows); the lidar sweep itself always spans 0.1 s (a 10 Hz spinner).
+    period > 0.1 subsamples the drive like the reference's
+    mapping_process_interval, so long loops fit in few scans."""
     from feature_base_pointcloud_registration_tpu.io.synthetic import (
         SyntheticWorld, simulate_scan)
 
@@ -86,7 +91,8 @@ def make_drive(out: str, n_scans: int = 40, radius: float = 4.0,
     world = SyntheticWorld()
     gt = []
     for k in range(n_scans):
-        pose, vel, omega = drive_pose(k, n_scans, radius, speed)
+        pose, vel, omega = drive_pose(k, n_scans, radius, speed,
+                                      period=period)
         gt.append(pose)
         skew = (dict(spin_rpy_rate=np.array([0.0, 0.0, omega]),
                      vel_world=np.array([vel[0], vel[1], 0.0]))
@@ -102,8 +108,9 @@ def make_drive(out: str, n_scans: int = 40, radius: float = 4.0,
     for sub in ("oxts", "velodyne_points"):
         with open(os.path.join(out, sub, "timestamps.txt"), "w") as fh:
             for k in range(n_scans):
-                ns = k * 100_000_000
-                fh.write(f"2011-09-26 13:02:{25 + ns // 10 ** 9:02d}."
+                ns = round(k * period * 1e9)
+                sec = 25 + ns // 10 ** 9
+                fh.write(f"2011-09-26 13:{2 + sec // 60:02d}:{sec % 60:02d}."
                          f"{ns % 10 ** 9:09d}\n")
     np.save(os.path.join(out, "gt_poses.npy"), np.stack(gt))
     return np.stack(gt)
@@ -116,9 +123,11 @@ def main():
     ap.add_argument("--radius", type=float, default=4.0)
     ap.add_argument("--speed", type=float, default=1.5)
     ap.add_argument("--noise", type=float, default=0.01)
+    ap.add_argument("--period", type=float, default=0.1,
+                    help="record interval in s (sweep stays 0.1 s)")
     args = ap.parse_args()
     gt = make_drive(args.out, args.scans, args.radius, args.speed,
-                    args.noise)
+                    args.noise, period=args.period)
     print(f"drive with {len(gt)} scans written to {args.out}")
 
 

